@@ -63,13 +63,19 @@ class HashNgramEmbedder(val dim: Int = 64) extends Embedder {
   * threshold so single-shared-token pairs don't spuriously subsume. Exact
   * rational→double arithmetic keeps the Python twin bit-identical.
   */
-class TokenContainmentScorer extends SubScorer {
+class TokenContainmentScorer(hypernyms: Map[String, Set[String]] = Map.empty) extends SubScorer {
+  /** sup token t "covers" the sub token set when t appears in it directly or
+    * t is a known hypernym of some sub token (optional static table — lets
+    * the stub place "hash join" under an abstract "operation" node). */
+  private def covers(t: String, ts: Set[String]): Boolean =
+    ts.contains(t) || ts.exists(s => hypernyms.getOrElse(s, Set.empty).contains(t))
+
   def score(pairs: Seq[(String, String)]): Array[Double] = pairs.iterator.map { case (sub, sup) =>
     val ts = Tokenset.tokens(sub).toSet
     val tp = Tokenset.tokens(sup)
     if (tp.isEmpty) 0.0
     else {
-      val f = tp.count(ts.contains).toDouble / tp.size
+      val f = tp.count(covers(_, ts)).toDouble / tp.size
       f * f
     }
   }.toArray

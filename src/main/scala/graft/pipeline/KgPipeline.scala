@@ -1,0 +1,343 @@
+package graft.pipeline
+
+import graft.core.{IconConfig, IconTraversal, ScoreCache}
+import graft.lexical.Tokenset
+import graft.models.{CommonTokenGenerator, HashNgramEmbedder, IconModels, TokenContainmentScorer}
+import graft.retrieve.VectorIndex
+import graft.spark.GraphOps
+import graft.taxo.{CycleException, MutableTaxo}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** The distributed extract → link → insert KG-construction pipeline
+  * (SURVEY.md §7.1): re-expresses ICON's retrieve-rank-insert loop over a
+  * web-scale corpus.
+  *
+  * Per round, against a frozen broadcast taxonomy snapshot:
+  *   1. EXTRACT — per-partition mention detection over the corpus (codegen'd
+  *      column ops, no UDF): bigram candidates + frequencies.
+  *   2. DEDUPE — anti-join mention tokenset-hashes against the taxonomy's
+  *      lexical table and the scored-history (the reference's lexical cache
+  *      P1 / sub-score cache M4, as distributed joins).
+  *   3. LINK + DECIDE — `mapPartitions` over candidate labels: each task
+  *      embeds its batch, kNN-retrieves bases from the broadcast index
+  *      (ICON manual mode with auto_bases, icon.py:515-556), and runs the
+  *      enhanced traversal (P3) with executor-local batched scoring.
+  *   4. COMMIT — decisions, deterministically ordered, merge into the edge
+  *      delta on the driver with P4 cycle screening; new ids allocated
+  *      densely from max(id)+1.
+  *   5. CANONICALIZE — equivalence pairs (eqv decisions + embedding
+  *      near-dups among new concepts) → connected components → merge.
+  *   6. CHECKPOINT — nodes/edges/scored-pairs/lineage parquet per round +
+  *      COMMIT marker: the run is resumable from the last complete round.
+  *
+  * The corpus is the distributed axis; the taxonomy is broadcast-sized
+  * (reference scale: ≤ ~10^6 concepts). Decisions within a round share the
+  * frozen snapshot (bulk-synchronous); the commit re-validates in
+  * deterministic order, which is the round-parallel analogue of the
+  * reference's sequential inserts (SURVEY.md §7.4.2).
+  */
+object KgPipeline {
+
+  case class PipelineConfig(
+      rounds: Int = 2,
+      retrieveSize: Int = 5,
+      maxCandidatesPerRound: Int = 500,
+      minMentionFreq: Long = 2L,
+      icon: IconConfig = IconConfig(mode = "manual", inputConcepts = Seq("_")),
+      cosineMergeThreshold: Double = 0.98) extends Serializable
+
+  /** OLAP-domain seed taxonomy matching the synthetic corpus vocabulary. */
+  def seedTaxo(): MutableTaxo = {
+    val t = new MutableTaxo
+    t.addNode(0, Some("Root Concept"))
+    val cats = Seq(
+      1L -> ("operation", Seq(11L -> "join", 12L -> "scan", 13L -> "sort", 14L -> "merge",
+        15L -> "agg", 16L -> "filter", 17L -> "group", 18L -> "window")),
+      2L -> ("structure", Seq(21L -> "table", 22L -> "row", 23L -> "column", 24L -> "vector",
+        25L -> "hash", 26L -> "key", 27L -> "value", 28L -> "line", 29L -> "part")),
+      3L -> ("workload", Seq(31L -> "query", 32L -> "batch", 33L -> "stream", 34L -> "data")))
+    for ((cid, (clabel, children)) <- cats) {
+      t.addNode(cid, Some(clabel))
+      t.addEdge(cid, 0L, "original")
+      for ((nid, nlabel) <- children) {
+        t.addNode(nid, Some(nlabel))
+        t.addEdge(nid, cid, "original")
+      }
+    }
+    t
+  }
+
+  /** Static hypernym table for the domain scorer (leaf token -> abstract
+    * category labels that subsume it). */
+  val DomainHypernyms: Map[String, Set[String]] = {
+    val ops = Seq("join", "scan", "sort", "merge", "agg", "filter", "group", "window")
+    val structs = Seq("table", "row", "column", "vector", "hash", "key", "value", "line", "part")
+    val work = Seq("query", "batch", "stream", "data")
+    (ops.map(_ -> Set("operation")) ++ structs.map(_ -> Set("structure")) ++
+      work.map(_ -> Set("workload"))).toMap
+  }
+
+  def domainModels(dim: Int = 64): IconModels =
+    IconModels(new HashNgramEmbedder(dim), new CommonTokenGenerator,
+      new TokenContainmentScorer(DomainHypernyms))
+
+  /** Stage 1: mention detection — word bigrams (both non-stopword), one
+    * shuffle for the frequency count. Skew note: head mentions are Zipf-
+    * heavy by construction; the groupBy is on the mention itself so AQE
+    * coalescing + the freq threshold keep partitions balanced. */
+  def extractMentions(corpus: DataFrame, textCol: String, minFreq: Long): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")
+    val stop = lit(Tokenset.Stopwords.toArray)
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => !array_contains(stop, split(g, " ").getItem(0)) &&
+        !array_contains(stop, split(g, " ").getItem(1)))
+    corpus.select(explode(bigrams).as("mention"))
+      .groupBy("mention").agg(count("*").as("freq"))
+      .filter(col("freq") >= minFreq)
+  }
+
+  /** Flat decision row for Dataset encoding. */
+  case class DecisionRow(label: String, eqvNode: Option[Long], eqvScore: Option[Double],
+                         sup: Seq[(Long, Double)], sub: Seq[(Long, Double)])
+  case class LineageRow(round: Int, partitionId: Int, stage: String,
+                        rowsIn: Long, rowsOut: Long, scoredPairs: Long, wallMs: Long)
+  case class ScoredPair(subLabel: String, supLabel: String, p: Double)
+
+  case class RoundResult(decisions: Seq[DecisionRow], lineage: Seq[LineageRow],
+                         scored: DataFrame)
+
+  /** Stage 3: link + decide, executor-side against the broadcast snapshot. */
+  def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
+                  models: IconModels, cfg: PipelineConfig, round: Int,
+                  priorScores: Map[(String, String), Double]): RoundResult = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bTaxo = sc.broadcast(taxo)
+    val bModels = sc.broadcast(models)
+    val bPrior = sc.broadcast(priorScores)
+    val iconCfg = cfg.icon
+    val retrieve = cfg.retrieveSize
+
+    // taxonomy embeddings computed distributed (one tiny job), collected for
+    // the broadcast index — the index is snapshot-scoped (R5 semantics)
+    val nodeIds = taxo.nodes.toArray
+    val labels = nodeIds.map(taxo.getLabel)
+    val vecs = spark.range(0, nodeIds.length, 1, math.min(32, math.max(1, nodeIds.length / 64 + 1)))
+      .mapPartitions { it =>
+        val emb = bModels.value.emb
+        val idx = it.toArray
+        val out = emb.embed(idx.map(i => labels(i.toInt)).toSeq)
+        idx.iterator.zip(out.iterator)
+      }.collect().sortBy(_._1).map(_._2)
+    val bIndex = sc.broadcast((nodeIds, vecs))
+
+    val rows = candidates.select(col("mention")).as[String]
+      .mapPartitions { it =>
+        val t0 = System.currentTimeMillis()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val snapshot = bTaxo.value
+        val m = bModels.value
+        val (ids, vs) = bIndex.value
+        val index = new VectorIndex(ids, vs)
+        val cache = new ScoreCache(m.sub)
+        cache.importAll(bPrior.value.iterator.map { case ((a, b), p) => (a, b, p) })
+        val lexical = snapshot.nodes.iterator.map(n => Tokenset.hash64(snapshot.getLabel(n)) -> n)
+          .toMap
+        val batch = it.toSeq
+        val decisions = batch.map { label =>
+          val base = index.search(m.emb.embedOne(label), retrieve)._2.toSeq
+          val d = IconTraversal.decide(snapshot, label, base, cache, iconCfg,
+            l => lexical.get(Tokenset.hash64(l)))
+          DecisionRow(d.label, d.eqv.map(_._1), d.eqv.map(_._2), d.sup, d.sub)
+        }
+        val lineage = LineageRow(round, pid, "decide", batch.size, decisions.size,
+          cache.pairsScored, System.currentTimeMillis() - t0)
+        val scored = cache.export.map { case (a, b, p) => ScoredPair(a, b, p) }
+        Iterator((decisions, Seq(lineage), scored))
+      }.collect()
+
+    val scoredDF = rows.iterator.flatMap(_._3).toSeq.toDF("subLabel", "supLabel", "p")
+      .dropDuplicates("subLabel", "supLabel")
+    RoundResult(rows.iterator.flatMap(_._1).toSeq.sortBy(_.label),
+      rows.iterator.flatMap(_._2).toSeq, scoredDF)
+  }
+
+  /** Stage 4: deterministic-order driver commit with cycle screening (P4). */
+  def commit(taxo: MutableTaxo, decisions: Seq[DecisionRow], nextKey0: Long,
+             round: Int): (Long, Seq[(Long, Long, String, Int)], Seq[(String, Long)]) = {
+    var nextKey = nextKey0
+    val delta = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
+    val newConcepts = mutable.ArrayBuffer.empty[(String, Long)]
+    for (d <- decisions.sortBy(_.label)) {
+      if (d.eqvNode.isDefined || d.sup.nonEmpty) {
+        val selfClass: Long = d.eqvNode match {
+          case Some(e) if taxo.containsNode(e) => e
+          case _ =>
+            val k = nextKey
+            taxo.addNode(k, Some(d.label))
+            newConcepts += ((d.label, k))
+            nextKey += 1
+            k
+        }
+        val supR = taxo.reduceSubset(d.sup.map(_._1).filter(taxo.containsNode))
+        val subR = taxo.reduceSubset(d.sub.map(_._1).filter(taxo.containsNode), reverse = true)
+        for (s <- supR) {
+          try { if (taxo.addEdge(selfClass, s, "new") == 0) delta += ((selfClass, s, "new", round)) }
+          catch { case _: CycleException => }
+        }
+        for (s <- subR) {
+          try { if (taxo.addEdge(s, selfClass, "new") == 0) delta += ((s, selfClass, "new", round)) }
+          catch { case _: CycleException => }
+        }
+      }
+    }
+    (nextKey, delta.toSeq, newConcepts.toSeq)
+  }
+
+  /** Stage 5: canonicalization — embedding near-dup pairs among this
+    * round's new concepts + CC merge (min-id canonical). Returns the merge
+    * map (dupId -> canonicalId) and applies it to the taxonomy. */
+  def canonicalize(spark: SparkSession, taxo: MutableTaxo,
+                   newConcepts: Seq[(String, Long)], models: IconModels,
+                   threshold: Double): Map[Long, Long] = {
+    if (newConcepts.size < 2) return Map.empty
+    import spark.implicits._
+    val emb = models.emb.embed(newConcepts.map(_._1))
+    val vecs = newConcepts.zip(emb).map { case ((_, id), v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold)
+      .select(col("a"), col("b"))
+    if (pairs.isEmpty) return Map.empty
+    val cc = GraphOps.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .as[(Long, Long)].collect()
+    val merge = cc.toMap
+    for ((dup, canon) <- merge.toSeq.sortBy(_._1)) {
+      // re-point dup's edges onto the canonical node, then drop dup
+      for ((p, l) <- taxo.succ(dup).toSeq) {
+        try { if (!taxo.containsEdge(canon, p)) taxo.addEdge(canon, p, l) }
+        catch { case _: CycleException => }
+      }
+      for ((c, l) <- taxo.pred(dup).toSeq) {
+        try { if (!taxo.containsEdge(c, canon)) taxo.addEdge(c, canon, l) }
+        catch { case _: CycleException => }
+      }
+      taxo.removeNode(dup)
+    }
+    merge
+  }
+
+  case class RunResult(taxo: MutableTaxo, triples: DataFrame, lineage: DataFrame,
+                       roundsRun: Int)
+
+  private def roundDir(ckpt: String, r: Int) = s"$ckpt/round=$r"
+  private def commitMarker(ckpt: String, r: Int) = Paths.get(s"${roundDir(ckpt, r)}/COMMIT")
+
+  /** Find the last complete round in a checkpoint dir (resume point). */
+  def lastCompleteRound(ckpt: String): Int = {
+    var r = 0
+    while (Files.exists(commitMarker(ckpt, r + 1))) r += 1
+    r
+  }
+
+  def run(spark: SparkSession, corpus: DataFrame, textCol: String,
+          models: IconModels, cfg: PipelineConfig, ckptDir: String): RunResult = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(ckptDir))
+
+    // resume from the last complete round's snapshot, or start at the seed
+    val resumeRound = lastCompleteRound(ckptDir)
+    var taxo =
+      if (resumeRound == 0) seedTaxo()
+      else {
+        val nodes = spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/nodes")
+          .as[(Long, String)].collect().sortBy(_._1)
+        val edges = spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/edges")
+          .select(col("src"), col("dst"), col("label")).as[(Long, Long, String)].collect()
+        val t = new MutableTaxo
+        nodes.foreach { case (id, l) => t.addNode(id, Some(l)) }
+        edges.foreach { case (u, v, l) => t.addEdge(u, v, l) }
+        t
+      }
+    var priorScores: Map[(String, String), Double] =
+      if (resumeRound == 0) Map.empty
+      else spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/scored_pairs")
+        .as[(String, String, Double)].collect().map { case (a, b, p) => (a, b) -> p }.toMap
+    var nextKey = taxo.nodes.max + 1
+    val allLineage = mutable.ArrayBuffer.empty[LineageRow]
+    val allDeltas = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
+    val sameAs = mutable.ArrayBuffer.empty[(String, String, Int)]
+
+    val mentions = extractMentions(corpus, textCol, cfg.minMentionFreq)
+      .persist()
+
+    var r = resumeRound + 1
+    while (r <= cfg.rounds) {
+      // 2. dedupe candidates against taxonomy lexical table + prior rounds
+      val lexHashes = taxo.nodes.map(n => Tokenset.hash64(taxo.getLabel(n))).toDF("h")
+      val hashUdf = udf((s: String) => Tokenset.hash64(s))
+      val fresh = mentions.withColumn("h", hashUdf(col("mention")))
+        .join(lexHashes, Seq("h"), "left_anti")
+        .orderBy(col("freq").desc, col("mention").asc)
+        .limit(cfg.maxCandidatesPerRound)
+        .select("mention", "freq")
+
+      val result = decideRound(spark, fresh, taxo, models, cfg, r, priorScores)
+      allLineage ++= result.lineage
+
+      val (nk, delta, newConcepts) = commit(taxo, result.decisions, nextKey, r)
+      nextKey = nk
+      allDeltas ++= delta
+
+      // record sameAs (eqv) triples from this round's decisions
+      for (d <- result.decisions; e <- d.eqvNode if taxo.containsNode(e))
+        sameAs += ((d.label, taxo.getLabel(e), r))
+
+      val merge = canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold)
+      val mergedLabels = newConcepts.toMap.map(_.swap) // id -> label
+      for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
+        sameAs += ((dl, cl, r))
+
+      priorScores = priorScores ++ result.scored.as[(String, String, Double)].collect()
+        .map { case (a, b, p) => (a, b) -> p }
+
+      // 6. checkpoint (atomic via COMMIT marker written last)
+      val rd = roundDir(ckptDir, r)
+      taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
+      taxo.edges.toDF("src", "dst", "label")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
+      priorScores.toSeq.map { case ((a, b), p) => (a, b, p) }
+        .toDF("subLabel", "supLabel", "p")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
+      result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
+      Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
+      r += 1
+    }
+    mentions.unpersist()
+
+    // final: transitive reduction, preserving seed edges (icon.py:610-614)
+    val seed = seedTaxo()
+    val tr = taxo.transitiveReduction()
+    val trEdges = tr.edges.map { case (u, v, _) => (u, v) }.toSet
+    for ((u, v, _) <- taxo.edges if !trEdges.contains((u, v))) taxo.removeEdge(u, v)
+    for ((u, v, l) <- seed.edges if taxo.containsNode(u) && taxo.containsNode(v)) {
+      taxo.succ(u)(v) = l; taxo.pred(v)(u) = l
+    }
+
+    val isA = taxo.edges.filter(_._3 == "new")
+      .map { case (u, v, _) => (taxo.getLabel(u), "isA", taxo.getLabel(v),
+        allDeltas.find(d => d._1 == u && d._2 == v).map(_._4).getOrElse(0), "new") }
+    val same = sameAs.map { case (a, b, rr) => (a, "sameAs", b, rr, "eqv") }.toSeq
+    val triples = (isA ++ same).toDF("subj", "pred", "obj", "src_round", "lineage")
+    triples.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ckptDir/triples")
+    val lineageDF = allLineage.toSeq.toDF()
+    RunResult(taxo, triples, lineageDF, cfg.rounds - resumeRound)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed DataFrame graph algorithms over an edge table
+  * `edges(src LONG, dst LONG)` where src = child and dst = parent
+  * (subClassOf orientation, matching the reference Taxonomy.
+  * /root/reference/src/icon/core/taxonomy.py:26).
+  *
+  * These are the at-scale twins of the broadcast-snapshot operators in
+  * [[graft.taxo.MutableTaxo]]: same semantics, expressed as iterative
+  * join/union/distinct fixpoints so they work when the graph itself is the
+  * distributed axis (SURVEY.md §2.2). Iteration counts are bounded by graph
+  * depth; every loop persists + localCheckpoints its frontier to cut lineage.
+  */
+object GraphOps {
+
+  /** Transitive closure pairs (node, ancestor), excluding self-pairs —
+    * distributed `get_ancestors` (G5, taxonomy.py:167-189). Iterative
+    * frontier expansion: O(depth) shuffles, each a join on the frontier
+    * (small) against the edge table — not closure×closure squaring, so the
+    * shuffle volume stays proportional to the closure size.
+    */
+  def ancestorClosure(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val e = edges.select(col("src").as("node"), col("dst").as("anc")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var closure = e
+    var frontier = e
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      // extend the frontier one hop upward
+      val next = frontier.as("f")
+        .join(e.as("e2"), col("f.anc") === col("e2.node"))
+        .select(col("f.node").as("node"), col("e2.anc").as("anc"))
+        .distinct()
+        .join(closure, Seq("node", "anc"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else {
+        closure = closure.union(next).localCheckpoint(true)
+        frontier = next.localCheckpoint(true)
+      }
+      i += 1
+    }
+    closure
+  }
+
+  /** Leaves = nodes never appearing as a parent (empty-input LCA,
+    * taxonomy.py:353): anti-join of nodes vs edges.dst. Renamed join keys —
+    * `nodes` is often derived from `edges`, so raw column references would
+    * resolve ambiguously against the shared lineage. */
+  def leaves(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes.join(edges.select(col("dst").as("__p")), col("id") === col("__p"), "left_anti")
+
+  /** Roots / top nodes = nodes never appearing as a child (taxonomy.py:389). */
+  def roots(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes.join(edges.select(col("src").as("__c")), col("id") === col("__c"), "left_anti")
+
+  /** Per-node min distance from any root — distributed `annotate_levels`
+    * (G13/G15, taxonomy.py:460-517): level-synchronous min propagation. */
+  def depths(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var level = roots(nodes, edges).select(col("id"), lit(0).as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = level
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = frontier.as("f")
+        .join(e.as("e2"), col("f.id") === col("e2.dst"))
+        .select(col("e2.src").as("id"), (col("f.depth") + 1).as("depth"))
+        .groupBy(col("id")).agg(min("depth").as("depth"))
+        // keep only improvements (new node or smaller depth)
+        .join(level.withColumnRenamed("depth", "old"), Seq("id"), "left")
+        .filter(col("old").isNull || col("depth") < col("old"))
+        .select(col("id"), col("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else {
+        level = level.join(next.select(col("id")), Seq("id"), "left_anti")
+          .union(next).localCheckpoint(true)
+        frontier = next.localCheckpoint(true)
+      }
+      i += 1
+    }
+    level
+  }
+
+  /** Distributed transitive reduction (G18, taxonomy.py:620-629): an edge
+    * (u,v) is redundant iff a path u→…→v of length ≥ 2 exists, i.e. some
+    * other parent p of u reaches v through the closure. */
+  def transitiveReduction(edges: DataFrame): DataFrame = {
+    val closure = ancestorClosure(edges)
+    // 2+hop reachability: first hop through a parent, then closure-or-self
+    val viaParent = edges.as("e1")
+      .join(edges.as("e2"), col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.src").as("src"), col("e1.dst").as("dst"), col("e2.dst").as("mid"))
+    val redundant = viaParent
+      .join(closure, viaParent("mid") === closure("node") && viaParent("dst") === closure("anc"),
+        "left_semi")
+      .select(col("src"), col("dst")).distinct()
+    edges.join(redundant, Seq("src", "dst"), "left_anti")
+  }
+
+  /** Connected components over an undirected edge set `(a, b)`: min-label
+    * propagation with a pointer-jumping contraction each round (the
+    * hash-to-min scheme — converges in O(log n) rounds on chains, no
+    * GraphFrames/RDD dependency; SURVEY.md §4.3). Returns (node, component)
+    * with component = min node id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .union(pairs.select(col("b").cast("long").as("a"), col("a").cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), col("a")).as("comp"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // propagate the min label across edges
+      val viaEdges = sym.as("e")
+        .join(labels.as("l"), col("e.b") === col("l.node"))
+        .groupBy(col("e.a").as("node")).agg(min(col("l.comp")).as("nbrComp"))
+      val prop = labels.join(viaEdges, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+      // pointer jumping: comp(n) <- comp(comp(n))
+      val jumped = prop.as("p")
+        .join(prop.select(col("node").as("cnode"), col("comp").as("ccomp")).as("q"),
+          col("p.comp") === col("q.cnode"), "left")
+        .select(col("p.node").as("node"),
+          least(col("p.comp"), coalesce(col("q.ccomp"), col("p.comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = jumped.as("j")
+        .join(labels.as("l"), col("j.node") === col("l.node"))
+        .filter(col("j.comp") =!= col("l.comp"))
+      converged = changed.isEmpty
+      labels = jumped
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("comp").as("component"))
+  }
+
+  /** Components including isolated nodes: every node maps to min(reachable). */
+  def componentsWithIsolated(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    nodes.select(col("id").cast("long").as("node"))
+      .join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+}

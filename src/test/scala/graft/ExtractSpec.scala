@@ -1,0 +1,57 @@
+package graft
+
+import graft.extract.HtmlExtract
+import graft.webtext.WebtextGen
+import org.apache.spark.sql.functions._
+
+/** HTML-extraction goldens: byte-identical text per url across runs and
+  * parallelism levels (the input-contract invariant), plus hand-built edge
+  * cases (FIXTURES.md §6). */
+class ExtractSpec extends SparkSpecBase {
+
+  val cases: Seq[(String, String)] = Seq(
+    ("<html><body>Hello <b>World</b></body></html>", "Hello World"),
+    ("<p>a</p><script>var x = '<evil>';</script><p>b</p>", "a b"),
+    ("<style>p { color: red; }</style>text", "text"),
+    ("<!-- comment --><div>keep</div>", "keep"),
+    ("a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a&b <tag> \"q\" 's'"),
+    ("multi   \n\t  space", "multi space"),
+    ("&nbsp;lead trail&nbsp;", "lead trail"),
+    ("<HTML><BODY ATTR=\"x\">CAPS</BODY></HTML>", "CAPS"),
+    ("unterminated <tag", "unterminated <tag"), // no closing '>' — not a tag
+    ("UTF-8 éü中文 ok", "UTF-8 éü中文 ok"),
+    ("numeric &#65; entity", "numeric entity"),
+    ("<script>nested <script>x</script></script>after", "after"))
+
+  test("extractLocal handles the golden cases") {
+    for ((html, want) <- cases)
+      assert(HtmlExtract.extractLocal(html) == want, s"case: $html")
+  }
+
+  test("column pipeline agrees with extractLocal byte-for-byte") {
+    import spark.implicits._
+    val df = cases.map(_._1).toDF("html")
+    val got = df.select(HtmlExtract.extract(col("html")).as("t")).as[String].collect()
+    for (((html, _), g) <- cases.zip(got))
+      assert(g == HtmlExtract.extractLocal(html), s"column/local diverge on: $html")
+  }
+
+  test("webtext generation is byte-identical across parallelism levels") {
+    import spark.implicits._
+    val a = WebtextGen.generate(spark, 200, 1)
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    val b = WebtextGen.generate(spark, 200, 7)
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._1).distinct.length == 200) // urls unique
+  }
+
+  test("extracted text equals the generator's golden text column") {
+    import spark.implicits._
+    val web = WebtextGen.generate(spark, 100, 4)
+    val mismatches = web
+      .select(HtmlExtract.extractBinary(col("html")).as("got"), col("text"))
+      .filter(col("got") =!= col("text")).count()
+    assert(mismatches == 0)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{SimOps, TextOps}
+import graft.spark.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / graph operators on tiny controlled inputs. */
+class OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different"),
+      (4L, "HELLO WORLD \n")).toDF("doc_id", "text")
+    val dups = TextOps.exactDuplicates(docs).as[(Long, Long, Long)].collect().toSet
+    assert(dups == Set((1L, 1L, 3L), (2L, 1L, 3L), (4L, 1L, 3L)))
+  }
+
+  test("jaccard pairs find near-duplicates and minhash agrees") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely unrelated text about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog indeed")).toDF("doc_id", "text")
+    val exact = TextOps.jaccardPairs(docs, k = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 4L)))
+    assert(!exact.exists(p => p._1 == 3L || p._2 == 3L))
+    val mh = TextOps.minhashPairs(docs, k = 2, numHashes = 64, bands = 64, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mh == exact, s"minhash=$mh exact=$exact")
+  }
+
+  test("simhash near-identical docs within hamming 3") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val pairs = TextOps.simhashPairs(docs, maxDist = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0.01f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(1f, 0f, 0.0001f))).toDF("vec_id", "embedding")
+    val knn = SimOps.cosineTopK(vecs, vecs.filter($"vec_id" === 1), k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(knn(4L) == 1L) // nearly identical direction ranks first
+    assert(knn(2L) == 2L)
+  }
+
+  test("lsh top-k is a subset of brute force with same ranking rule") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => ((graft.lexical.Tokenset.fnv1a64(s"$i:$j") % 1000L) / 1000.0f)))
+    }.toDF("vec_id", "embedding")
+    val bf = SimOps.cosineTopK(vecs, vecs.filter($"vec_id" < 3), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimOps.lshCosineTopK(vecs, vecs.filter($"vec_id" < 3), 5, bits = 8, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // bands = bits (1-bit rows) gives near-total recall on 50 vectors
+    assert(lsh.subsetOf(bf) || lsh == bf)
+    assert(lsh.size >= bf.size / 2)
+  }
+
+  test("connected components: chains, stars, isolated nodes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 10L)).toDF("a", "b")
+    val nodes = (1L to 4L).union(Seq(10L, 11L, 12L, 99L)).toDF("id")
+    val cc = GraphOps.componentsWithIsolated(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
+    assert(cc(99L) == 99L)
+  }
+
+  test("ancestor closure and transitive reduction on a diamond") {
+    val edges = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val closure = GraphOps.ancestorClosure(edges).as[(Long, Long)].collect().toSet
+    assert(closure == Set((4L, 2L), (4L, 3L), (4L, 1L), (2L, 1L), (3L, 1L)))
+    val tr = GraphOps.transitiveReduction(edges).as[(Long, Long)].collect().toSet
+    assert(tr == Set((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L))) // 4->1 removed
+  }
+
+  test("graph depths on a chain") {
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val depths = GraphOps.depths(nodes, edges).as[(Long, Int)].collect().toMap
+    assert(depths == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+}

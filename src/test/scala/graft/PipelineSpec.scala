@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.KgPipeline
+import graft.webtext.WebtextGen
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** End-to-end KG pipeline: extract→link→insert over the synthetic webtext
+  * corpus; determinism across parallelism; resume-from-checkpoint equality
+  * (SURVEY.md §5.3 item 5). */
+class PipelineSpec extends SparkSpecBase {
+
+  private def corpus(n: Int, parts: Int) =
+    WebtextGen.generate(spark, n, parts)
+      .select(col("url"), graft.extract.HtmlExtract.extractBinary(col("html")).as("text"))
+
+  private def cfg(rounds: Int) = KgPipeline.PipelineConfig(
+    rounds = rounds, maxCandidatesPerRound = 40, minMentionFreq = 2)
+
+  private def tripleSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] = {
+    import spark.implicits._
+    df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+  }
+
+  test("pipeline emits placements for extracted mentions") {
+    val ckpt = Files.createTempDirectory("kg1").toString
+    val res = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(1), ckpt)
+    val triples = tripleSet(res.triples)
+    assert(triples.nonEmpty)
+    // every mention is "modifier head" with head under a known category —
+    // the domain scorer must place at least one under its head concept
+    assert(triples.exists { case (s, p, o) => p == "isA" && s.endsWith(" " + o) },
+      s"no mention placed under its head concept: ${triples.take(10)}")
+    // lineage rows recorded per partition
+    assert(res.lineage.count() > 0)
+  }
+
+  test("pipeline output is identical across parallelism levels") {
+    val c1 = Files.createTempDirectory("kgp1").toString
+    val c2 = Files.createTempDirectory("kgp2").toString
+    val r1 = KgPipeline.run(spark, corpus(300, 1), "text", KgPipeline.domainModels(), cfg(1), c1)
+    val r2 = KgPipeline.run(spark, corpus(300, 7), "text", KgPipeline.domainModels(), cfg(1), c2)
+    assert(tripleSet(r1.triples) == tripleSet(r2.triples))
+  }
+
+  test("resume from round-1 checkpoint reproduces the full 2-round output") {
+    val full = Files.createTempDirectory("kgfull").toString
+    val part = Files.createTempDirectory("kgpart").toString
+    val rFull = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), full)
+    // simulate a kill after round 1: run 1 round into `part`...
+    KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(), cfg(1), part)
+    assert(KgPipeline.lastCompleteRound(part) == 1)
+    // ...then resume with the 2-round config
+    val rResumed = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), part)
+    assert(tripleSet(rResumed.triples) == tripleSet(rFull.triples))
+    assert(rResumed.roundsRun == 1) // only round 2 re-ran
+  }
+
+  test("inserted concepts carry edges to existing taxonomy nodes only after cycle screening") {
+    val ckpt = Files.createTempDirectory("kgcy").toString
+    val res = KgPipeline.run(spark, corpus(200, 4), "text",
+      KgPipeline.domainModels(), cfg(1), ckpt)
+    // result taxonomy must still be a DAG: transitive reduction is a no-op
+    // on edge count only if acyclic reachability holds; assert via closure
+    val t = res.taxo
+    for (n <- t.nodes) assert(!t.getAncestors(n).contains(n), s"cycle at $n")
+  }
+}
