@@ -120,12 +120,16 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       TextOps.exactDuplicates(docs.union(copies)).orderBy("doc_id")
     }),
+    // k=3 shingles: the synthetic corpus has a 28-word vocabulary, so 2-gram
+    // posting lists are pathologically dense (570+ docs/shingle → quadratic
+    // join); 3-grams have ~10 docs/shingle and the inverted-index join stays
+    // linear in corpus size
     "q13_jaccard_pairs" -> ((s, d) =>
-      TextOps.jaccardPairs(s.read.parquet(t(d, "documents")), k = 2, threshold = 0.12)
+      TextOps.jaccardPairs(s.read.parquet(t(d, "documents")), k = 3, threshold = 0.12)
         .orderBy("a", "b")),
     "q14_minhash_pairs" -> ((s, d) =>
-      TextOps.minhashPairs(s.read.parquet(t(d, "documents")), k = 2,
-          numHashes = 64, bands = 64, threshold = 0.12)
+      TextOps.minhashPairs(s.read.parquet(t(d, "documents")), k = 3,
+          numHashes = 128, bands = 128, threshold = 0.12)
         .orderBy("a", "b")),
     "q15_simhash" -> ((s, d) =>
       TextOps.simhashSigs(s.read.parquet(t(d, "documents"))).orderBy("doc_id")),
@@ -149,7 +153,7 @@ object SparkEntry {
       val all = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
         .union(perturbed)
-      SimOps.cosineNearDupPairs(all, threshold = 0.98, bits = 16, bands = 8)
+      SimOps.cosineNearDupPairs(all, threshold = 0.98, bits = 64, bands = 8)
         .orderBy("a", "b")
     }),
     "q18_ann_lsh" -> ((s, d) => {
@@ -192,7 +196,11 @@ object SparkEntry {
     }),
     "q26_mentions" -> ((s, d) =>
       KgPipeline.extractMentions(s.read.parquet(t(d, "documents")), "text", 3L)
-        .orderBy("mention"))
+        .orderBy("mention")),
+    // --- training-data builders (T1-T3) -----------------------------------
+    "q27_sub_traindata" -> ((s, d) => graft.ops.TrainDataOps.subsData(s, d)),
+    "q28_emb_traindata" -> ((s, d) => graft.ops.TrainDataOps.embData(s, d)),
+    "q29_gen_traindata" -> ((s, d) => graft.ops.TrainDataOps.genData(s, d))
   )
 
   /** DuckDB oracle SQL per query (same tables, same semantics). */
@@ -318,6 +326,67 @@ object SparkEntry {
         |FROM base a JOIN base b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.98
         |ORDER BY 1,2""".stripMargin,
+    "q27_sub_traindata" ->
+      s"""${TaxoQueries.edgesCte},
+         |closure(node, anc) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.anc = e.src
+         |),
+         |nodes AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
+         |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
+         |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer),
+         |hop2 AS (
+         |  SELECT DISTINCT node, anc FROM (
+         |    SELECT src AS node, dst AS anc FROM edges
+         |    UNION ALL
+         |    SELECT e1.src, e2.dst FROM edges e1 JOIN edges e2 ON e1.dst = e2.src)),
+         |positives AS (
+         |  SELECT ns.label AS subclass, na.label AS superclass,
+         |    CAST(1 AS BIGINT) AS labels, h.node, h.anc
+         |  FROM hop2 h JOIN nodes ns ON h.node = ns.id JOIN nodes na ON h.anc = na.id),
+         |negatives AS (
+         |  SELECT subclass, superclass, CAST(0 AS BIGINT) AS labels, node, anc FROM (
+         |    SELECT ns.label AS subclass, u.label AS superclass, n.id AS node, u.id AS anc,
+         |      ROW_NUMBER() OVER (PARTITION BY n.id
+         |        ORDER BY CAST(CONCAT('0x', SUBSTR(md5(n.id || ':' || u.id), 1, 15)) AS BIGINT) ASC,
+         |                 u.id ASC) AS rn
+         |    FROM nodes n JOIN nodes ns ON n.id = ns.id, nodes u
+         |    WHERE u.id < 1000 AND u.id <> n.id
+         |      AND NOT EXISTS (SELECT 1 FROM closure c WHERE c.node = n.id AND c.anc = u.id))
+         |  WHERE rn = 1)
+         |SELECT subclass, superclass, labels, node, anc FROM positives
+         |UNION ALL
+         |SELECT subclass, superclass, labels, node, anc FROM negatives
+         |ORDER BY node, anc, labels""".stripMargin,
+    "q28_emb_traindata" ->
+      s"""${TaxoQueries.edgesCte},
+         |nodes AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
+         |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
+         |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer),
+         |sibs AS (
+         |  SELECT src, dst, lag(src) OVER (PARTITION BY dst ORDER BY src) AS sib FROM edges)
+         |SELECT nq.label AS query_label, np.label AS positive_label,
+         |  s.src AS query_id, s.sib AS positive_id
+         |FROM sibs s JOIN nodes nq ON s.src = nq.id JOIN nodes np ON s.sib = np.id
+         |WHERE s.sib IS NOT NULL
+         |ORDER BY query_id, positive_id""".stripMargin,
+    "q29_gen_traindata" ->
+      s"""${TaxoQueries.edgesCte},
+         |nodes AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
+         |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
+         |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer)
+         |SELECT 'summarize: ' || array_to_string(list_slice(list_sort(list(nc.label)), 1, 3), '; ') AS text,
+         |  np.label AS summary, e.dst AS parent_id
+         |FROM edges e JOIN nodes nc ON e.src = nc.id JOIN nodes np ON e.dst = np.id
+         |GROUP BY e.dst, np.label
+         |ORDER BY parent_id""".stripMargin,
     "q19_taxo_ancestors" -> TaxoQueries.ancestorsSql,
     "q20_taxo_leaves" -> TaxoQueries.leavesSql,
     "q21_taxo_depths" -> TaxoQueries.depthsSql,
@@ -340,13 +409,13 @@ object SparkEntry {
         |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin
   )
 
-  /** Exact word-2-gram Jaccard oracle (shared by the exact and the
-    * MinHash-verified variants — banding recall is 1 on this corpus,
-    * asserted in OpsSpec). */
+  /** Exact word-3-gram Jaccard oracle (shared by the exact and the
+    * MinHash-verified variants — 128-band banding recall is 1 on this
+    * corpus, verified at sf0.001/0.01/0.1). */
   private def jaccardOracle: String =
     """WITH sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2
-      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
       |    ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS sset
       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'\s+'), x -> x<>'') AS tk
       |        FROM documents)),

@@ -1,0 +1,228 @@
+package graft.core
+
+import graft.models.IconModels
+import graft.retrieve.VectorIndex
+import graft.taxo.{CycleException, MutableTaxo}
+
+import scala.collection.mutable
+import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+
+/** Category-move (re-parenting) configuration — leaf names follow
+  * /root/reference/src/icon/core/category_move.py:18-65. */
+case class MoveConfig(
+    mode: String = "auto", // auto | manual
+    method: String = "search", // search | rag
+    maxOuterLoop: Option[Int] = None,
+    ignore: Set[Long] = Set.empty,
+    inputConcepts: Seq[Long] = Nil,
+    retrieveSize: Int = 10,
+    candidateTopLevel: Int = -1,
+    candidateBottomLevel: Int = 1,
+    retIgnore: Set[Long] = Set.empty,
+    scopeTopLevel: Int = 0,
+    scopeBottomLevel: Int = 1,
+    threshold: Double = 0.5,
+    tolerance: Int = 0,
+    forcePrune: Boolean = false,
+    alwaysSearchToBottom: Boolean = true,
+    doSelect: Boolean = true,
+    alwaysIncludeOld: Boolean = true,
+    selectionFeatures: Seq[String] = Seq("parent", "siblings"),
+    weights: Seq[Double] = Seq(1.0, 1.0),
+    doUpdate: Boolean = true) extends Serializable {
+  require(threshold >= 0 && threshold <= 1)
+}
+
+/** The category-move application (C1-C9, category_move.py): re-parent leaf
+  * concepts by one-directional search or retrieval, weighted feature
+  * ranking, and `moved`-labelled edge commits. Driver-side sequential twin;
+  * candidates within a batch are independent given the snapshot, so the
+  * distributed variant fans examine-steps out exactly like KgPipeline.
+  */
+class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
+
+  var working: MutableTaxo = _
+  val scoreCache: ScoreCache = new ScoreCache(models.sub)
+  val logs: LinkedHashMap[Long, Seq[Long]] = LinkedHashMap.empty
+  var kept: Long = 0L
+  var moved: Long = 0L
+  private var index: VectorIndex = _
+  private val extraVecs = mutable.HashMap.empty[Long, Array[Float]]
+
+  /** category_move.py:87-107: concept-or-string to unit vector (concept
+    * vectors from the index, strings embedded on the fly). */
+  def entityToUnitVector(e: Either[Long, String]): Array[Double] = {
+    val v = e match {
+      case Left(node) if index != null && index.contains(node) => index.reconstruct(node)
+      case Left(node) =>
+        extraVecs.getOrElseUpdate(node, models.emb.embedOne(working.getLabel(node)))
+      case Right(s) => models.emb.embedOne(s)
+    }
+    // float32 storage, float64 normalization — matches the reference's
+    // numpy dtype flow (category_move.py:105-107)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n == 0) v.map(_.toDouble) else v.map(x => x.toDouble / n)
+  }
+
+  /** category_move.py:67-74: cosine of unit vectors. */
+  def similarity(q: Either[Long, String], k: Either[Long, String]): Double = {
+    val a = entityToUnitVector(q)
+    val b = entityToUnitVector(k)
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+  }
+
+  /** C3 evaluate_parent (category_move.py:139-154): subsumption scores of
+    * query under each candidate; root scores 1.0; cache-aware batch. */
+  def evaluateParent(query: String, candidates: Seq[Long]): Seq[Double] = {
+    scoreCache.prefetch(candidates.filter(_ != 0L).map(c => (query, working.getLabel(c))))
+    candidates.map {
+      case 0L => 1.0
+      case c => scoreCache.get(query, working.getLabel(c))
+    }
+  }
+
+  /** C4 evaluate_siblings (category_move.py:156-165): mean cosine of query
+    * vs each candidate's children; 0 when childless. */
+  def evaluateSiblings(query: String, candidates: Seq[Long]): Seq[Double] =
+    candidates.map { c =>
+      val siblings = working.getChildren(c)
+      if (siblings.isEmpty) 0.0
+      else siblings.map(s => similarity(Right(query), Left(s))).sum / siblings.size
+    }
+
+  /** C5 select (category_move.py:167-187): weighted feature ranking.
+    * np.argsort(..)[::-1] semantics preserved: ascending stable sort,
+    * reversed — ties resolve to the LATER candidate. */
+  def select(query: String, candidates: Seq[Long], nWinner: Int = 1): Seq[Long] = {
+    require(config.selectionFeatures.nonEmpty, "No selection feature is specified.")
+    require(config.selectionFeatures.size == config.weights.size,
+      "The size of weights must match the number of used features.")
+    val featureScores: Seq[Seq[Double]] = config.selectionFeatures.map {
+      case "parent" => evaluateParent(query, candidates)
+      case "siblings" => evaluateSiblings(query, candidates)
+      case f => throw new IllegalArgumentException(s"Invalid selection feature: $f")
+    }
+    val finalScores = candidates.indices.map { i =>
+      config.selectionFeatures.indices.map(j => featureScores(j)(i) * config.weights(j)).sum
+    }
+    candidates.indices
+      .sortBy(finalScores) // ascending, stable
+      .reverse
+      .take(nWinner)
+      .map(candidates)
+  }
+
+  /** C1 search (category_move.py:189-240): one-directional top-down
+    * traversal; most-specific reduction; optionally leaf-only. */
+  def search(taxo: MutableTaxo, query: String): LinkedHashMap[Long, Double] = {
+    var sup = LinkedHashMap.empty[Long, Double]
+    val top = taxo.getGCD(Nil)
+    val queue = mutable.Queue[(Long, Int)](top.map(n => (n, 0)): _*)
+    if (top.nonEmpty) scoreCache.prefetch(top.map(n => (query, taxo.getLabel(n))))
+    val visited = mutable.HashSet.empty[Long]
+    while (queue.nonEmpty) {
+      val (node, fails) = queue.dequeue()
+      visited += node
+      val toCache = ArrayBuffer.empty[String]
+      val p = if (node == 0L) 1.0 else scoreCache.get(query, taxo.getLabel(node))
+      if (p >= config.threshold) {
+        sup(node) = p
+        for (child <- taxo.getChildren(node) if !visited.contains(child)) {
+          queue.enqueue((child, 0)); toCache += taxo.getLabel(child)
+        }
+        if (toCache.nonEmpty) scoreCache.prefetch(toCache.toSeq.map(l => (query, l)))
+      } else if (fails < config.tolerance) {
+        for (child <- taxo.getChildren(node) if !visited.contains(child)) {
+          queue.enqueue((child, fails + 1)); toCache += taxo.getLabel(child)
+        }
+        if (toCache.nonEmpty) scoreCache.prefetch(toCache.toSeq.map(l => (query, l)))
+      } else if (config.forcePrune) {
+        taxo.getDescendants(node).foreach(visited += _)
+      }
+    }
+    if (sup.isEmpty) return sup // reference would crash on set.union(*[]) here
+    val supAncestors = mutable.HashSet.empty[Long]
+    for (s <- sup.keys) supAncestors ++= taxo.getAncestors(s)
+    sup = sup.filter { case (k, _) => !supAncestors.contains(k) }
+    if (config.alwaysSearchToBottom) {
+      val bottom = taxo.getLCA(Nil).toSet
+      sup = sup.filter { case (k, _) => bottom.contains(k) }
+    }
+    sup
+  }
+
+  /** C2 rag (category_move.py:242-270): kNN around the old parents within
+    * the level/ignore-filtered candidate set. */
+  def rag(query: String, oldParents: Seq[Long]): Seq[Long] = {
+    require(oldParents.nonEmpty, "Either old parents must be provided or do_generate must be True")
+    val subset = working.filterByLevel(config.candidateTopLevel, config.candidateBottomLevel)
+      .filterNot(config.retIgnore.contains).toSet
+    val out = mutable.LinkedHashSet.empty[Long]
+    for (p <- oldParents) {
+      val q = entityToUnitVector(Left(p)).map(_.toFloat)
+      out ++= index.search(q, config.retrieveSize, Some(subset))._2
+    }
+    out.toSeq
+  }
+
+  /** C6 move (category_move.py:109-137): add `moved` edges (cycle-screened),
+    * detect no-op by parent-set equality. */
+  def move(target: Long, newParents: Seq[Long], oldParents: Seq[Long]): Unit = {
+    val landed = ArrayBuffer.empty[Long]
+    for (n <- newParents) {
+      try { working.addEdge(target, n, "moved"); landed += n }
+      catch { case _: CycleException => }
+    }
+    if (oldParents.toSet == landed.toSet) kept += 1 else moved += 1
+  }
+
+  /** C7 examine_category (category_move.py:272-318): detach, search/rag,
+    * select, commit or log. */
+  def examineCategory(target: Long): Unit = {
+    if (!working.containsNode(target)) return
+    if (target == 0L) { kept += 1; return }
+    val oldParents = working.getParents(target)
+    for (p <- oldParents) working.removeEdge(target, p)
+
+    var candidates: Seq[Long] = config.method match {
+      case "search" =>
+        val subtaxo = working.createMoveSearchSpace(config.scopeTopLevel, config.scopeBottomLevel)
+        search(subtaxo, working.getLabel(target)).keys.toSeq
+      case _ => rag(working.getLabel(target), oldParents)
+    }
+    if (config.alwaysIncludeOld)
+      candidates = (mutable.LinkedHashSet(candidates: _*) ++ oldParents).toSeq
+
+    if (candidates.isEmpty) {
+      for (p <- oldParents) working.addEdge(target, p, "moved")
+      return
+    }
+    val winner =
+      if (config.doSelect && candidates.size > 1) select(working.getLabel(target), candidates)
+      else candidates
+    // reference quirk preserved: with do_update=False the detached target is
+    // NOT re-attached (category_move.py:310-318 never restores old edges)
+    if (config.doUpdate) move(target, winner, oldParents)
+    logs(target) = winner
+  }
+
+  /** C9 auto/manual/run (category_move.py:320-424). */
+  def run(data: MutableTaxo): MutableTaxo = {
+    working = data.deepCopy()
+    logs.clear(); kept = 0; moved = 0
+    if (config.method == "rag" || config.selectionFeatures.contains("siblings")) {
+      val ns = working.nodes.toArray
+      index = new VectorIndex(ns, models.emb.embed(ns.map(working.getLabel).toSeq))
+    }
+    val targets: Seq[Long] = config.mode match {
+      case "auto" =>
+        val movable = working.bottomNodes.filterNot(config.ignore.contains)
+        config.maxOuterLoop.map(movable.take).getOrElse(movable)
+      case _ =>
+        require(config.inputConcepts.nonEmpty, "Manual mode requires input concepts")
+        config.inputConcepts
+    }
+    targets.foreach(examineCategory)
+    working
+  }
+}

@@ -97,12 +97,15 @@ object SimOps {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("x").join(banded.as("y"),
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .distinct()
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct() // dedupe on ids before re-joining vectors (cheap shuffle keys)
+    val vecs = df.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))

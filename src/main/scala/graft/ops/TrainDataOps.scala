@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.spark.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data builders (T1-T3, SURVEY.md §2.9) over the TPC-H-derived
+  * taxonomy: the reference emits sub/gen/emb CSVs from a taxonomy
+  * (experiments/data_wrangling/build_{sub,emb,gen}_data.py). The reference
+  * samples negatives with np.random (not reproducible on the JVM); our
+  * builders replace random draws with deterministic hash-ranked selection,
+  * which the DuckDB oracle reproduces exactly.
+  */
+object TrainDataOps {
+
+  /** Labeled node table for the region→nation→customer taxonomy. */
+  def labeledNodes(spark: SparkSession, dir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    import spark.implicits._
+    Seq((0L, "Root Concept")).toDF("id", "label")
+      .union(region.select((col("r_regionkey").cast("long") + 1).as("id"), col("r_name").as("label")))
+      .union(nation.select((col("n_nationkey").cast("long") + 100).as("id"), col("n_name").as("label")))
+      .union(customer.select((col("c_custkey").cast("long") + 1000).as("id"), col("c_name").as("label")))
+  }
+
+  /** T1 subsumption pairs (build_sub_data.py:15-101): positives = all
+    * (descendant ≤ 2 hops, ancestor) label pairs; negatives = per node, the
+    * md5-hash-minimal upper-level non-ancestor. Columns follow the reference
+    * CSV header (Subclass, Superclass, labels). */
+  def subsData(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TaxoQueries.edges(spark, dir)
+    val nodes = labeledNodes(spark, dir)
+    val oneHop = edges.select(col("src").as("node"), col("dst").as("anc"))
+    val twoHop = edges.as("e1").join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("node"), col("e2.dst").as("anc"))
+    val positives = oneHop.union(twoHop).distinct()
+      .join(nodes.select(col("id").as("node"), col("label").as("subclass")), Seq("node"))
+      .join(nodes.select(col("id").as("anc"), col("label").as("superclass")), Seq("anc"))
+      .select(col("subclass"), col("superclass"), lit(1L).as("labels"),
+        col("node"), col("anc"))
+    // negatives: candidate pool = upper levels (root/regions/nations);
+    // for each node pick the md5-minimal candidate that is NOT an ancestor
+    val closure = GraphOps.ancestorClosure(edges)
+    val uppers = nodes.filter(col("id") < 1000).select(col("id").as("cand"), col("label").as("candLabel"))
+    val closureR = closure.select(col("node").as("__cn"), col("anc").as("__ca"))
+    val nonAnc = nodes.select(col("id").as("node"), col("label").as("subclass"))
+      .crossJoin(uppers)
+      .filter(col("node") =!= col("cand"))
+      .join(closureR, col("node") === col("__cn") && col("cand") === col("__ca"), "left_anti")
+    val w = Window.partitionBy(col("node"))
+      .orderBy(TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).asc,
+        col("cand").asc)
+    val negatives = nonAnc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("subclass"), col("candLabel").as("superclass"), lit(0L).as("labels"),
+        col("node"), col("cand").as("anc"))
+    positives.union(negatives)
+      .select(col("subclass"), col("superclass"), col("labels"), col("node"), col("anc"))
+      .orderBy("node", "anc", "labels")
+  }
+
+  /** T2 contrastive pairs (build_emb_data.py:15-101): clusters = children
+    * sharing a parent; deterministic positive = the id-adjacent sibling. */
+  def embData(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TaxoQueries.edges(spark, dir)
+    val nodes = labeledNodes(spark, dir)
+    val w = Window.partitionBy(col("dst")).orderBy(col("src"))
+    edges.withColumn("sib", lag("src", 1).over(w))
+      .filter(col("sib").isNotNull)
+      .join(nodes.select(col("id").as("src"), col("label").as("query_label")), Seq("src"))
+      .join(nodes.select(col("id").as("sib"), col("label").as("positive_label")), Seq("sib"))
+      .select(col("query_label"), col("positive_label"),
+        col("src").as("query_id"), col("sib").as("positive_id"))
+      .orderBy("query_id", "positive_id")
+  }
+
+  /** T3 generation pairs (build_gen_data.py:11-150): per parent, the first
+    * three children labels (sorted) as "summarize: a; b; c" with the parent
+    * label as summary. */
+  def genData(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TaxoQueries.edges(spark, dir)
+    val nodes = labeledNodes(spark, dir)
+    edges.join(nodes.select(col("id").as("src"), col("label").as("childLabel")), Seq("src"))
+      .groupBy(col("dst"))
+      .agg(slice(sort_array(collect_list(col("childLabel"))), 1, 3).as("kids"))
+      .join(nodes.select(col("id").as("dst"), col("label").as("summary")), Seq("dst"))
+      .select(concat(lit("summarize: "), concat_ws("; ", col("kids"))).as("text"),
+        col("summary"), col("dst").as("parent_id"))
+      .orderBy("parent_id")
+  }
+}

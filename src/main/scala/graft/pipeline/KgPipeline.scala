@@ -85,22 +85,27 @@ object KgPipeline {
     IconModels(new HashNgramEmbedder(dim), new CommonTokenGenerator,
       new TokenContainmentScorer(DomainHypernyms))
 
+  /** Word-bigram mention expression (both words non-stopword, nulls from
+    * the zip_with tail dropped) — shared by the batch and streaming paths. */
+  def mentionBigrams(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+    val stop = lit(Tokenset.Stopwords.toArray)
+    filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull &&
+        !array_contains(stop, split(g, " ").getItem(0)) &&
+        !array_contains(stop, split(g, " ").getItem(1)))
+  }
+
   /** Stage 1: mention detection — word bigrams (both non-stopword), one
     * shuffle for the frequency count. Skew note: head mentions are Zipf-
     * heavy by construction; the groupBy is on the mention itself so AQE
     * coalescing + the freq threshold keep partitions balanced. */
-  def extractMentions(corpus: DataFrame, textCol: String, minFreq: Long): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")
-    val stop = lit(Tokenset.Stopwords.toArray)
-    val bigrams = filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      g => !array_contains(stop, split(g, " ").getItem(0)) &&
-        !array_contains(stop, split(g, " ").getItem(1)))
-    corpus.select(explode(bigrams).as("mention"))
+  def extractMentions(corpus: DataFrame, textCol: String, minFreq: Long): DataFrame =
+    corpus.select(explode(mentionBigrams(col(textCol))).as("mention"))
       .groupBy("mention").agg(count("*").as("freq"))
       .filter(col("freq") >= minFreq)
-  }
 
   /** Flat decision row for Dataset encoding. */
   case class DecisionRow(label: String, eqvNode: Option[Long], eqvScore: Option[Double],

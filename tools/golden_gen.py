@@ -414,6 +414,35 @@ def main():
         "decisions": decisions_to_json(logs_d),
     }
 
+    # --- scenario 7: category move, search method, google300 ---------------
+    from icon.core.category_move import ICONforCategoryMove
+    taxo_m = load(gsub)
+    icon_m = ICONforCategoryMove(data=taxo_m, emb_model=EmbModel(),
+                                 sub_model=SubModel(), mode="auto", method="search",
+                                 max_outer_loop=15, do_update=True, logging=False)
+    result_m = icon_m.run()
+    goldens["move_search_google300"] = {
+        "taxonomy": gsub,
+        "decisions": [{"target": int(k), "winner": sorted(int(x) for x in v)}
+                      for k, v in icon_m._status.logs.items()],
+        "final_edges": sorted([[int(u), int(v), result_m.edges[u, v].get("label", "")]
+                               for u, v in result_m.edges]),
+        "kept": int(icon_m._status.progress[0]), "moved": int(icon_m._status.progress[1]),
+    }
+
+    # --- scenario 8: category move, rag method ------------------------------
+    taxo_r = load(gsub)
+    icon_r = ICONforCategoryMove(data=taxo_r, emb_model=EmbModel(),
+                                 sub_model=SubModel(), mode="auto", method="rag",
+                                 max_outer_loop=15, do_update=True, logging=False)
+    result_r = icon_r.run()
+    goldens["move_rag_google300"] = {
+        "taxonomy": gsub,
+        "decisions": [{"target": int(k), "winner": sorted(int(x) for x in v)}
+                      for k, v in icon_r._status.logs.items()],
+        "kept": int(icon_r._status.progress[0]), "moved": int(icon_r._status.progress[1]),
+    }
+
     os.makedirs(out_dir, exist_ok=True)
     for name, data in goldens.items():
         with open(f"{out_dir}/{name}.json", "w") as f:
