@@ -25,11 +25,10 @@ object SparkEntry {
     * synthetic webtext corpus at tiny scale; returns the triples table. */
   def entry(spark: SparkSession): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("kgentry").toString
-    val corpus = WebtextGen.generate(spark, 400, 8)
-      .select(col("url"), graft.extract.HtmlExtract.extractBinary(col("html")).as("text"))
-    val result = KgPipeline.run(spark, corpus, "text", KgPipeline.domainModels(),
+    val corpus = WebtextGen.generate(spark, 400, 8).select(col("url"), col("html"))
+    val result = KgPipeline.run(spark, corpus, "html", KgPipeline.domainModels(),
       KgPipeline.PipelineConfig(rounds = 1, maxCandidatesPerRound = 64, minMentionFreq = 2),
-      ckpt)
+      ckpt, htmlInput = true)
     result.triples
   }
 

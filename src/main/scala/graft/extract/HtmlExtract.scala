@@ -1,51 +1,49 @@
 package graft.extract
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic HTML → text extraction (SURVEY.md L7 — not in the
   * reference; required by the input contract: byte-identical extracted text
   * per url across runs and parallelism levels).
   *
-  * Pure column-expression pipeline (codegen'd, order-free, no UDF):
-  *   1. drop <script>/<style>/<!-- --> blocks
-  *   2. strip tags, turning block-level boundaries into spaces
-  *   3. decode the common HTML entities (incl. numeric)
-  *   4. canonicalize whitespace runs, trim
-  * Identical input bytes ⇒ identical output bytes, independent of
-  * partitioning, because every step is a per-row pure function.
+  * Canonical implementation: the single-pass [[HtmlScanner]] (one char loop,
+  * one output buffer). A chained-regexp column pipeline was the v0
+  * implementation; it allocated ~10 intermediate copies per document, which
+  * made corpus extraction allocation-bound on top of carrying a sequential-
+  * replace artifact (`&amp;lt;` double-decoded to `<`). The scanner is
+  * exposed to Catalyst as a custom expression so the plan stays a single
+  * projection with no UDF registration.
   */
 object HtmlExtract {
 
+  /** Column form: custom Catalyst expression over the canonical scanner. */
   def extract(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    val entities = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
-    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(from), java.util.regex.Matcher.quoteReplacement(to))
-    }
-    val numeric = regexp_replace(decoded, "&#(\\d+);", " ")
-    trim(regexp_replace(numeric, "\\s+", " "))
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(HtmlExtractExpr(toExpr(html)))
   }
 
   /** Binary `html` column (input-contract type) → text. */
   def extractBinary(html: Column): Column = extract(html.cast("string"))
 
-  /** Scala twin for driver-side goldens — must stay semantically identical
-    * to the column pipeline above (asserted in ExtractSpec). */
-  def extractLocal(html: String): String = {
-    var s = html
-    s = s.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
-    s = s.replaceAll("(?s)<!--.*?-->", " ")
-    s = s.replaceAll("(?s)<[^>]*>", " ")
-    for ((from, to) <- Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'"))
-      s = s.replace(from, to)
-    s = s.replaceAll("&#(\\d+);", " ")
-    s.replaceAll("\\s+", " ").trim
-  }
+  /** Driver-side canonical extractor (used by the webtext generator to
+    * produce the golden `text` column — identical function, so the
+    * byte-identity invariant is exact by construction). */
+  def extractLocal(html: String): String = HtmlScanner.extract(html)
+}
+
+/** Scalar expression wrapping the single-pass extractor. Deterministic,
+  * null-safe; CodegenFallback (a single virtual call per row — the cost is
+  * the scan itself, not the dispatch). */
+case class HtmlExtractExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlScanner.extract(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtractExpr =
+    copy(child = newChild)
+  override def prettyName: String = "html_extract"
 }

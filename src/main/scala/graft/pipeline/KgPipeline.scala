@@ -107,6 +107,14 @@ object KgPipeline {
       .groupBy("mention").agg(count("*").as("freq"))
       .filter(col("freq") >= minFreq)
 
+  /** Fused variant over raw html (extract → tokenize → bigrams in one
+    * custom expression — extraction is allocation-bound at corpus scale;
+    * see graft.extract.MentionScanner). */
+  def extractMentionsFromHtml(corpus: DataFrame, htmlCol: String, minFreq: Long): DataFrame =
+    corpus.select(explode(graft.extract.MentionScanner.mentionsColumn(col(htmlCol))).as("mention"))
+      .groupBy("mention").agg(count("*").as("freq"))
+      .filter(col("freq") >= minFreq)
+
   /** Flat decision row for Dataset encoding. */
   case class DecisionRow(label: String, eqvNode: Option[Long], eqvScore: Option[Double],
                          sup: Seq[(Long, Double)], sub: Seq[(Long, Double)])
@@ -115,7 +123,7 @@ object KgPipeline {
   case class ScoredPair(subLabel: String, supLabel: String, p: Double)
 
   case class RoundResult(decisions: Seq[DecisionRow], lineage: Seq[LineageRow],
-                         scored: DataFrame)
+                         scored: Seq[(String, String, Double)])
 
   /** Stage 3: link + decide, executor-side against the broadcast snapshot. */
   def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
@@ -129,17 +137,22 @@ object KgPipeline {
     val iconCfg = cfg.icon
     val retrieve = cfg.retrieveSize
 
-    // taxonomy embeddings computed distributed (one tiny job), collected for
-    // the broadcast index — the index is snapshot-scoped (R5 semantics)
+    // taxonomy embeddings for the broadcast index (snapshot-scoped, R5).
+    // Adaptive: small taxonomies embed on the driver (one batched call
+    // beats a Spark job's scheduling latency); huge ones go distributed.
     val nodeIds = taxo.nodes.toArray
     val labels = nodeIds.map(taxo.getLabel)
-    val vecs = spark.range(0, nodeIds.length, 1, math.min(32, math.max(1, nodeIds.length / 64 + 1)))
-      .mapPartitions { it =>
-        val emb = bModels.value.emb
-        val idx = it.toArray
-        val out = emb.embed(idx.map(i => labels(i.toInt)).toSeq)
-        idx.iterator.zip(out.iterator)
-      }.collect().sortBy(_._1).map(_._2)
+    val vecs: Array[Array[Float]] =
+      if (nodeIds.length <= 50000) models.emb.embed(labels.toSeq)
+      else {
+        val lbl = sc.broadcast(labels)
+        spark.range(0, nodeIds.length, 1, 32)
+          .mapPartitions { it =>
+            val emb = bModels.value.emb
+            val idx = it.toArray
+            idx.iterator.zip(emb.embed(idx.map(i => lbl.value(i.toInt)).toSeq).iterator)
+          }.collect().sortBy(_._1).map(_._2)
+      }
     val bIndex = sc.broadcast((nodeIds, vecs))
 
     val rows = candidates.select(col("mention")).as[String]
@@ -167,10 +180,11 @@ object KgPipeline {
         Iterator((decisions, Seq(lineage), scored))
       }.collect()
 
-    val scoredDF = rows.iterator.flatMap(_._3).toSeq.toDF("subLabel", "supLabel", "p")
-      .dropDuplicates("subLabel", "supLabel")
+    val scored = rows.iterator.flatMap(_._3)
+      .map(s => (s.subLabel, s.supLabel) -> s.p).toMap
+      .iterator.map { case ((a, b), p) => (a, b, p) }.toSeq
     RoundResult(rows.iterator.flatMap(_._1).toSeq.sortBy(_.label),
-      rows.iterator.flatMap(_._2).toSeq, scoredDF)
+      rows.iterator.flatMap(_._2).toSeq, scored)
   }
 
   /** Stage 4: deterministic-order driver commit with cycle screening (P4). */
@@ -212,17 +226,59 @@ object KgPipeline {
                    newConcepts: Seq[(String, Long)], models: IconModels,
                    threshold: Double): Map[Long, Long] = {
     if (newConcepts.size < 2) return Map.empty
-    import spark.implicits._
+    val merge: Map[Long, Long] =
+      if (newConcepts.size <= 10000) canonicalizeLocal(newConcepts, models, threshold)
+      else {
+        // Spark path for rounds that mint concept sets beyond driver scale:
+        // LSH-blocked near-dup pairs + distributed connected components
+        import spark.implicits._
+        val emb = models.emb.embed(newConcepts.map(_._1))
+        val vecs = newConcepts.zip(emb).map { case ((_, id), v) => (id, v) }
+          .toDF("vec_id", "embedding")
+        val pairs = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold)
+          .select(col("a"), col("b")).persist()
+        val out =
+          if (pairs.isEmpty) Map.empty[Long, Long]
+          else GraphOps.connectedComponents(pairs)
+            .filter(col("node") =!= col("component"))
+            .as[(Long, Long)].collect().toMap
+        pairs.unpersist()
+        out
+      }
+    applyMerge(taxo, merge)
+    merge
+  }
+
+  /** Driver-side canonicalization twin for round-sized concept sets (the
+    * per-round mint is bounded by maxCandidatesPerRound; a Spark job per
+    * few hundred driver-resident labels is pure scheduling overhead).
+    * Same semantics: exact cosine pairs ≥ threshold, union-find to min id. */
+  def canonicalizeLocal(newConcepts: Seq[(String, Long)],
+                        models: IconModels, threshold: Double): Map[Long, Long] = {
+    val ids = newConcepts.map(_._2).toArray
     val emb = models.emb.embed(newConcepts.map(_._1))
-    val vecs = newConcepts.zip(emb).map { case ((_, id), v) => (id, v) }
-      .toDF("vec_id", "embedding")
-    val pairs = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold)
-      .select(col("a"), col("b"))
-    if (pairs.isEmpty) return Map.empty
-    val cc = GraphOps.connectedComponents(pairs)
-      .filter(col("node") =!= col("component"))
-      .as[(Long, Long)].collect()
-    val merge = cc.toMap
+    val parent = mutable.HashMap(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def norm(a: Array[Float]) = math.sqrt(dot(a, a))
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val d = norm(emb(i)) * norm(emb(j))
+      val cos = if (d == 0) 0.0 else
+        BigDecimal(dot(emb(i), emb(j)) / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos >= threshold) union(ids(i), ids(j))
+    }
+    ids.iterator.map(i => i -> find(i)).filter { case (a, b) => a != b }.toMap
+  }
+
+  private def applyMerge(taxo: MutableTaxo, merge: Map[Long, Long]): Unit = {
     for ((dup, canon) <- merge.toSeq.sortBy(_._1)) {
       // re-point dup's edges onto the canonical node, then drop dup
       for ((p, l) <- taxo.succ(dup).toSeq) {
@@ -235,7 +291,6 @@ object KgPipeline {
       }
       taxo.removeNode(dup)
     }
-    merge
   }
 
   case class RunResult(taxo: MutableTaxo, triples: DataFrame, lineage: DataFrame,
@@ -252,7 +307,8 @@ object KgPipeline {
   }
 
   def run(spark: SparkSession, corpus: DataFrame, textCol: String,
-          models: IconModels, cfg: PipelineConfig, ckptDir: String): RunResult = {
+          models: IconModels, cfg: PipelineConfig, ckptDir: String,
+          htmlInput: Boolean = false): RunResult = {
     import spark.implicits._
     Files.createDirectories(Paths.get(ckptDir))
 
@@ -279,24 +335,39 @@ object KgPipeline {
     val allDeltas = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
     val sameAs = mutable.ArrayBuffer.empty[(String, String, Int)]
 
-    val mentions = extractMentions(corpus, textCol, cfg.minMentionFreq)
+    val mentions = (if (htmlInput) extractMentionsFromHtml(corpus, textCol, cfg.minMentionFreq)
+      else extractMentions(corpus, textCol, cfg.minMentionFreq))
       .persist()
+
+    val phase = mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val out = f
+      phase(name) = phase.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+      out
+    }
 
     var r = resumeRound + 1
     while (r <= cfg.rounds) {
-      // 2. dedupe candidates against taxonomy lexical table + prior rounds
+      // 2. dedupe candidates against taxonomy lexical table + prior rounds.
+      // limit() would collapse downstream parallelism to one task, so the
+      // candidate batch is re-spread by mention hash before the decide stage
       val lexHashes = taxo.nodes.map(n => Tokenset.hash64(taxo.getLabel(n))).toDF("h")
       val hashUdf = udf((s: String) => Tokenset.hash64(s))
-      val fresh = mentions.withColumn("h", hashUdf(col("mention")))
-        .join(lexHashes, Seq("h"), "left_anti")
-        .orderBy(col("freq").desc, col("mention").asc)
-        .limit(cfg.maxCandidatesPerRound)
-        .select("mention", "freq")
+      val fresh = timed("candidates") {
+        mentions.withColumn("h", hashUdf(col("mention")))
+          .join(lexHashes, Seq("h"), "left_anti")
+          .orderBy(col("freq").desc, col("mention").asc)
+          .limit(cfg.maxCandidatesPerRound)
+          .select("mention", "freq")
+          .repartition(32, col("mention"))
+          .localCheckpoint(true)
+      }
 
-      val result = decideRound(spark, fresh, taxo, models, cfg, r, priorScores)
+      val result = timed("decide")(decideRound(spark, fresh, taxo, models, cfg, r, priorScores))
       allLineage ++= result.lineage
 
-      val (nk, delta, newConcepts) = commit(taxo, result.decisions, nextKey, r)
+      val (nk, delta, newConcepts) = timed("commit")(commit(taxo, result.decisions, nextKey, r))
       nextKey = nk
       allDeltas ++= delta
 
@@ -304,28 +375,32 @@ object KgPipeline {
       for (d <- result.decisions; e <- d.eqvNode if taxo.containsNode(e))
         sameAs += ((d.label, taxo.getLabel(e), r))
 
-      val merge = canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold)
+      val merge = timed("canonicalize")(
+        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold))
       val mergedLabels = newConcepts.toMap.map(_.swap) // id -> label
       for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
         sameAs += ((dl, cl, r))
 
-      priorScores = priorScores ++ result.scored.as[(String, String, Double)].collect()
-        .map { case (a, b, p) => (a, b) -> p }
+      priorScores = priorScores ++ result.scored.map { case (a, b, p) => (a, b) -> p }
 
       // 6. checkpoint (atomic via COMMIT marker written last)
-      val rd = roundDir(ckptDir, r)
-      taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
-      taxo.edges.toDF("src", "dst", "label")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
-      priorScores.toSeq.map { case ((a, b), p) => (a, b, p) }
-        .toDF("subLabel", "supLabel", "p")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
-      result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
-      Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
+      timed("checkpoint") {
+        val rd = roundDir(ckptDir, r)
+        taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
+        taxo.edges.toDF("src", "dst", "label")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
+        priorScores.toSeq.map { case ((a, b), p) => (a, b, p) }
+          .toDF("subLabel", "supLabel", "p")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
+        result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
+        Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
+      }
       r += 1
     }
     mentions.unpersist()
+    if (sys.env.contains("GRAFT_PHASE_TIMES"))
+      println(phase.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{\"phases\":{", ",", "}}"))
 
     // final: transitive reduction, preserving seed edges (icon.py:610-614)
     val seed = seedTaxo()

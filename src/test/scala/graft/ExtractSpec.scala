@@ -46,6 +46,18 @@ class ExtractSpec extends SparkSpecBase {
     assert(a.map(_._1).distinct.length == 200) // urls unique
   }
 
+  test("fused html->mentions equals extract-then-bigram composition") {
+    import spark.implicits._
+    val web = WebtextGen.generate(spark, 200, 4)
+    val fused = graft.pipeline.KgPipeline
+      .extractMentionsFromHtml(web.selectExpr("url", "html"), "html", 1L)
+      .as[(String, Long)].collect().toMap
+    val composed = graft.pipeline.KgPipeline
+      .extractMentions(web.select(HtmlExtract.extractBinary(col("html")).as("text")), "text", 1L)
+      .as[(String, Long)].collect().toMap
+    assert(fused == composed)
+  }
+
   test("extracted text equals the generator's golden text column") {
     import spark.implicits._
     val web = WebtextGen.generate(spark, 100, 4)

@@ -23,6 +23,10 @@ class PipelineSpec extends SparkSpecBase {
     df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
   }
 
+  test("driver-contract entry() yields triples") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("pipeline emits placements for extracted mentions") {
     val ckpt = Files.createTempDirectory("kg1").toString
     val res = KgPipeline.run(spark, corpus(300, 4), "text",
