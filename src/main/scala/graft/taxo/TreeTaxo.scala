@@ -59,6 +59,32 @@ class TreeTaxo(rootId: Long = 0L) extends MutableTaxo {
 
   /** taxonomy.py:949-955. Path from root to node inclusive. */
   def getBreadcrumb(node: Long): Seq[Long] = getAncestorsTree(node).reverse :+ node
+
+  /** taxonomy.py:907-916. Tree-specialized subsumption: walk up from v. */
+  def subsumesTree(u: Long, v: Long, labels: Option[Set[String]] = None): Boolean = {
+    var cur = v
+    while (cur != u) {
+      val p = getParents(cur, labels)
+      if (p.isEmpty) return false
+      cur = p.head
+    }
+    true
+  }
+
+  /** taxonomy.py:918-939. Tree LCA via colour propagation (at most one). */
+  def getLCATree(nodes: Seq[Long]): Seq[Long] = {
+    if (nodes.isEmpty) return bottomNodes
+    val queue = scala.collection.mutable.Queue[(Long, Set[Long])](nodes.map(n => (n, Set(n))): _*)
+    val colours = scala.collection.mutable.HashMap[Long, Set[Long]](nodes.map(n => n -> Set(n)): _*)
+    val n0 = nodes.distinct.size
+    while (queue.nonEmpty) {
+      val (n, newColours) = queue.dequeue()
+      colours(n) = colours.getOrElse(n, Set.empty) union newColours
+      if (colours(n).size == n0) return Seq(n)
+      getParent(n).foreach(p => queue.enqueue((p, colours(n))))
+    }
+    Seq.empty
+  }
 }
 
 object TreeTaxo {
