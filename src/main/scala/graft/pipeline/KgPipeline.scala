@@ -396,6 +396,12 @@ object KgPipeline {
         result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
         Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
       }
+      // crash injection for the kill+resume drive: hard-halt (no cleanup,
+      // like SIGKILL) right after round N's checkpoint commits
+      if (sys.env.get("GRAFT_CRASH_AFTER_ROUND").exists(_.toInt == r)) {
+        System.err.println(s"[pipeline] GRAFT_CRASH_AFTER_ROUND=$r -> halt(137)")
+        Runtime.getRuntime.halt(137)
+      }
       r += 1
     }
     mentions.unpersist()
