@@ -199,7 +199,31 @@ object SparkEntry {
     // --- training-data builders (T1-T3) -----------------------------------
     "q27_sub_traindata" -> ((s, d) => graft.ops.TrainDataOps.subsData(s, d)),
     "q28_emb_traindata" -> ((s, d) => graft.ops.TrainDataOps.embData(s, d)),
-    "q29_gen_traindata" -> ((s, d) => graft.ops.TrainDataOps.genData(s, d))
+    "q29_gen_traindata" -> ((s, d) => graft.ops.TrainDataOps.genData(s, d)),
+    // --- multimodal binary columns (stub codec; rows-only check) ----------
+    "q30_media_features" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.MediaOps.extractFeatures(graft.ops.MediaOps.synthMedia(s, 200, 8))
+        .toDF().select(col("mediaId"), col("kind"), col("nFrames"),
+          round(col("meanLuma"), 4).as("mean_luma"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+        .orderBy("mediaId")
+    }),
+    // --- structured-streaming twin under the same oracle -------------------
+    "q31_streaming_mentions" -> ((s, d) => {
+      // readStream needs a directory; stage the documents table into one
+      val dir = java.nio.file.Files.createTempDirectory("q31src").toString
+      val docs = s.read.parquet(t(d, "documents"))
+      docs.select("text").write.mode("overwrite").parquet(dir)
+      val sink = s"q31_mentions_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.streamingMentions(
+        s, dir, s.read.parquet(dir).schema, sink)
+      q.awaitTermination(300000)
+      s.table(sink)
+        .select(col("mention"), col("count").as("freq"))
+        .filter(col("freq") >= 3)
+        .orderBy("mention")
+    })
   )
 
   /** DuckDB oracle SQL per query (same tables, same semantics). */
@@ -386,6 +410,18 @@ object SparkEntry {
          |FROM edges e JOIN nodes nc ON e.src = nc.id JOIN nodes np ON e.dst = np.id
          |GROUP BY e.dst, np.label
          |ORDER BY parent_id""".stripMargin,
+    "q31_streaming_mentions" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x<>'') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS mention
+        |  FROM toks WHERE len(tk) >= 2),
+        |stop AS (SELECT ['a','an','the','and','or','of','for','to','in','on','with','by','at','from','as','is','are','other'] AS sw)
+        |SELECT mention, COUNT(*) AS freq FROM grams, stop
+        |WHERE NOT list_contains(sw, split_part(mention, ' ', 1))
+        |  AND NOT list_contains(sw, split_part(mention, ' ', 2))
+        |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin,
     "q19_taxo_ancestors" -> TaxoQueries.ancestorsSql,
     "q20_taxo_leaves" -> TaxoQueries.leavesSql,
     "q21_taxo_depths" -> TaxoQueries.depthsSql,

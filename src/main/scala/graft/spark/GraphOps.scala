@@ -31,17 +31,18 @@ object GraphOps {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      // extend the frontier one hop upward
+      // extend the frontier one hop upward; eager localCheckpoint first so
+      // the convergence probe is metadata-cheap instead of a second job
       val next = frontier.as("f")
         .join(e.as("e2"), col("f.anc") === col("e2.node"))
         .select(col("f.node").as("node"), col("e2.anc").as("anc"))
         .distinct()
         .join(closure, Seq("node", "anc"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
         closure = closure.union(next).localCheckpoint(true)
-        frontier = next.localCheckpoint(true)
+        frontier = next
       }
       i += 1
     }
@@ -77,12 +78,12 @@ object GraphOps {
         .join(level.withColumnRenamed("depth", "old"), Seq("id"), "left")
         .filter(col("old").isNull || col("depth") < col("old"))
         .select(col("id"), col("depth"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
         level = level.join(next.select(col("id")), Seq("id"), "left_anti")
           .union(next).localCheckpoint(true)
-        frontier = next.localCheckpoint(true)
+        frontier = next
       }
       i += 1
     }
