@@ -118,6 +118,13 @@ class GoldenSpec extends AnyFunSuite {
     assertParity("manual_google300_tolerance", engine, root, decisions, inputs)
   }
 
+  test("manual_ebay_nonleaf (2311-node multi-parent eBay fixture) parity") {
+    val (root, taxoJson, decisions) = loadGolden("manual_ebay_nonleaf")
+    val inputs = root.get("inputs").elements().asScala.map(_.asText()).toSeq
+    val engine = runManual(root, taxoJson)
+    assertParity("manual_ebay_nonleaf", engine, root, decisions, inputs)
+  }
+
   test("manual_multieqv (multi-equivalence resolution) parity") {
     val (root, taxoJson, decisions) = loadGolden("manual_multieqv")
     val inputs = root.get("inputs").elements().asScala.map(_.asText()).toSeq

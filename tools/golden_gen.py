@@ -414,6 +414,30 @@ def main():
         "decisions": decisions_to_json(logs_d),
     }
 
+    # --- scenario 6b: ebay_us_nonleaf (BASELINE.md fixture, 2311 nodes) ----
+    etaxo = from_json("/root/reference/data/raw/ebay/old/ebay_us_nonleaf.json")
+    enodes = sorted(n for n in etaxo.nodes if n != 0)
+    inputs_e = []
+    bases_e = []
+    for i in range(0, 40):
+        n = enodes[(i * 13) % len(enodes)]
+        lbl = etaxo.get_label(n)
+        inputs_e.append(lbl + "s" if not lbl.endswith("s") else lbl[:-1])
+        bases_e.append([int(n)])
+    ejson = {"nodes": [{"id": int(n), "label": etaxo.get_label(n)} for n in sorted(etaxo.nodes)],
+             "edges": [{"src": int(u), "tgt": int(v),
+                        "label": etaxo.edges[u, v].get("label", "original")}
+                       for u, v in etaxo.edges]}
+    taxo_e = load(ejson)
+    icon_e = ICON(data=taxo_e, emb_model=EmbModel(), gen_model=GenModel(),
+                  sub_model=SubModel(), mode="manual", input_concepts=inputs_e,
+                  manual_concept_bases=bases_e, do_update=False, logging=False)
+    logs_e = icon_e.run()
+    goldens["manual_ebay_nonleaf"] = {
+        "taxonomy": ejson, "inputs": inputs_e, "bases": bases_e,
+        "decisions": decisions_to_json(logs_e),
+    }
+
     # --- scenario 7: category move, search method, google300 ---------------
     from icon.core.category_move import ICONforCategoryMove
     taxo_m = load(gsub)
