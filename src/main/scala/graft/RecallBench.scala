@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.SimOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN recall harness — the Spark twin of the reference's kNN evaluation
+  * (/root/reference/experiments/evaluation/knn_eval.ipynb cell 4: recall@k
+  * over repeated query draws with a 95% CI). Sweeps (bits, bands) for
+  * `SimOps.lshCosineTopK` against the exact `cosineTopK` baseline on the
+  * embeddings table; the chosen q18 parameters (SparkEntry.AnnBits/AnnBands)
+  * are justified by this sweep (results recorded in BENCH/BASELINE.md).
+  *
+  * Usage: runMain graft.RecallBench [sfDir] [k] [repeats]
+  * Prints one JSON line per (bits, bands) config:
+  *   {"bits":16,"bands":8,"k":5,"recall_mean":…,"recall_ci95":…,"sec":…}
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val k = if (args.length > 1) args(1).toInt else 5
+    val repeats = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).persist()
+    val n = emb.count()
+
+    // `repeats` disjoint deterministic query batches (vec_id mod buckets) —
+    // the repeat axis of the reference's evaluation
+    val batches = (0 until repeats).map(r => emb.filter(col("vec_id") % (repeats * 5) === r))
+
+    // exact baseline per batch: Set[(query, neighbor)]
+    val exact = batches.map(q =>
+      SimOps.cosineTopK(emb, q, k).select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet)
+
+    for ((bits, bands) <- Seq((8, 8), (16, 16), (16, 8), (32, 16), (32, 8), (64, 16))) {
+      val t0 = System.nanoTime()
+      val recalls = batches.zip(exact).map { case (q, ex) =>
+        val got = SimOps.lshCosineTopK(emb, q, k, bits, bands)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        if (ex.isEmpty) 1.0 else ex.intersect(got).size.toDouble / ex.size
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mean = recalls.sum / recalls.size
+      val sd = math.sqrt(recalls.map(r => (r - mean) * (r - mean)).sum /
+        math.max(1, recalls.size - 1))
+      val ci = 1.96 * sd / math.sqrt(recalls.size)
+      println(f"""{"bits":$bits,"bands":$bands,"k":$k,"n":$n,"repeats":$repeats,""" +
+        f""""recall_mean":$mean%.4f,"recall_ci95":$ci%.4f,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

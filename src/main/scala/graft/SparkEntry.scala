@@ -21,6 +21,37 @@ object SparkEntry {
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  /** One-row watermark-flush sentinel for q31 (doc_id = -1, empty text),
+    * written once per JVM. */
+  private val q31Sentinel = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def q31SentinelDir(s: SparkSession): String = {
+    if (q31Sentinel.get() == null) q31Sentinel.synchronized {
+      if (q31Sentinel.get() == null) {
+        val dir = java.nio.file.Files.createTempDirectory("q31sentinel").toString
+        import s.implicits._
+        Seq((-1L, "")).toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        q31Sentinel.set(dir)
+      }
+    }
+    q31Sentinel.get()
+  }
+
+  /** The file stream source needs a directory; the testdata tables are
+    * single parquet files. Expose each as a directory via a memoized
+    * symlink — zero copy, no staging rewrite of the corpus. */
+  private val q31DocsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q31DocsDir(sfDir: String): String =
+    q31DocsDirs.computeIfAbsent(sfDir, { _ =>
+      val target = java.nio.file.Paths.get(t(sfDir, "documents"))
+      if (java.nio.file.Files.isDirectory(target)) target.toString
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("q31docs")
+        java.nio.file.Files.createSymbolicLink(dir.resolve("documents.parquet"), target)
+        dir.toString
+      }
+    })
+
   /** Flagship: the end-to-end extract→link→insert KG pipeline over the
     * synthetic webtext corpus at tiny scale; returns the triples table. */
   def entry(spark: SparkSession): DataFrame = {
@@ -157,7 +188,8 @@ object SparkEntry {
     }),
     "q18_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(t(d, "embeddings"))
-      SimOps.lshCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5, bits = 16, bands = 8)
+      SimOps.lshCosineTopK(emb, emb.filter(col("vec_id") < 20), k = AnnK,
+          bits = AnnBits, bands = AnnBands)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"), col("cos"))
         .orderBy("query_id", "rank")
     }),
@@ -211,17 +243,18 @@ object SparkEntry {
     }),
     // --- structured-streaming twin under the same oracle -------------------
     "q31_streaming_mentions" -> ((s, d) => {
-      // readStream needs a directory; stage the documents table into one
-      val dir = java.nio.file.Files.createTempDirectory("q31src").toString
-      val docs = s.read.parquet(t(d, "documents"))
-      docs.select("text").write.mode("overwrite").parquet(dir)
+      // stream the documents table directly (zero-copy symlink dir — no
+      // staging rewrite); append mode + watermark — the bounded-state
+      // production shape
       val sink = s"q31_mentions_${System.nanoTime()}"
-      val q = graft.streaming.StreamingOps.streamingMentions(
-        s, dir, s.read.parquet(dir).schema, sink)
+      val docsDir = q31DocsDir(d)
+      val q = graft.streaming.StreamingOps.streamingMentionsAppend(
+        s, docsDir, s.read.parquet(docsDir).schema,
+        q31SentinelDir(s), s.read.parquet(q31SentinelDir(s)).schema, sink)
       q.awaitTermination(300000)
       s.table(sink)
-        .select(col("mention"), col("count").as("freq"))
         .filter(col("freq") >= 3)
+        .select(col("mention"), col("freq"))
         .orderBy("mention")
     })
   )
@@ -323,6 +356,17 @@ object SparkEntry {
         |FROM fp QUALIFY group_size > 1 ORDER BY doc_id""".stripMargin,
     "q13_jaccard_pairs" -> jaccardOracle,
     "q14_minhash_pairs" -> jaccardOracle,
+    "q15_simhash" -> simhashOracle,
+    "q18_ann_lsh" -> annLshOracle,
+    // q24/q25/q30 are not SQL-expressible (multi-round pipeline, custom
+    // extraction expression, stub media codec); they are gated against
+    // committed expected-output fixtures generated at sf0.01 (the driver's
+    // Verify scale) by tools/gen_fixtures.sh and independently validated by
+    // the reference-parity goldens (q24), the byte-identity ExtractSpec
+    // (q25) and MediaSpec value checks (q30).
+    "q24_kg_triples" -> fixtureOracle("q24_kg_triples", Seq("subj", "pred", "obj")),
+    "q25_extract_text" -> fixtureOracle("q25_extract_text", Seq("url")),
+    "q30_media_features" -> fixtureOracle("q30_media_features", Seq("mediaId")),
     "q16_cosine_knn" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |scored AS (
@@ -443,6 +487,80 @@ object SparkEntry {
         |  AND NOT list_contains(sw, split_part(mention, ' ', 2))
         |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin
   )
+
+  /** Committed expected-output parquet for queries whose semantics are not
+    * SQL-expressible (pipeline / custom-expression / stub-codec paths). The
+    * fixture is produced by a verified run at sf0.01 (tools/gen_fixtures.sh)
+    * and pins the output against regressions; the *semantic* checks live in
+    * the golden-parity suite (q24), ExtractSpec byte-identity (q25) and
+    * MediaSpec (q30). */
+  private def fixtureOracle(name: String, order: Seq[String]): String =
+    s"""SELECT * FROM read_parquet('/root/repo/src/test/resources/fixtures/$name.parquet')
+       |ORDER BY ${order.mkString(", ")}""".stripMargin
+
+  /** q18 LSH parameters — shared by the Spark query, the DuckDB oracle
+    * replica, and graft.RecallBench (whose sweep justifies the choice;
+    * see BENCH/BASELINE.md). */
+  val AnnBits = 16
+  val AnnBands = 8
+  val AnnK = 5
+
+  /** ±1 hyperplane VALUES literal — the exact sign matrix RhpSigExpr uses
+    * (fnv1a64-derived), so the DuckDB oracle reproduces the banding
+    * bit-for-bit and q18 gets a hard hash check, not a rows-only one. */
+  private def planesValues(bits: Int, dim: Int): String =
+    (0 until bits).map { b =>
+      val vals = (0 until dim).map(i =>
+        if ((graft.lexical.Tokenset.fnv1a64(s"rhp:$b:$i") & 1L) == 1L) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"($b, $vals)"
+    }.mkString(", ")
+
+  private def annLshOracle: String = {
+    val rows = AnnBits / AnnBands
+    val mask = (1L << rows) - 1
+    s"""WITH planes AS (SELECT * FROM (VALUES ${planesValues(AnnBits, 64)}) t(b, p)),
+       |sigb AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p) >= 0
+       |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings, planes GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b AS band, (sig >> (b * $rows)) & $mask AS bucket
+       |  FROM sigb, range($AnnBands) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+       |            JOIN embeddings ce ON cand.neighbor_id = ce.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q15 oracle: the 60-bit SimHash signature rebuilt in SQL — possible
+    * because the word hash is md5-derived (TextOps.md5Long), not xxhash64. */
+  private def simhashOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),'\s+'), x -> x<>'')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+      |v AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(60) t(b) GROUP BY 1, 2),
+      |sg AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM v GROUP BY 1)
+      |SELECT d.doc_id AS doc_id, CAST(COALESCE(sg.sig, 0) AS BIGINT) AS sig
+      |FROM documents d LEFT JOIN sg ON d.doc_id = sg.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Exact word-3-gram Jaccard oracle (shared by the exact and the
     * MinHash-verified variants — 128-band banding recall is 1 on this

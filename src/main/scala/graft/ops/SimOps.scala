@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VectorExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -10,19 +11,25 @@ import org.apache.spark.sql.expressions.Window
   * vector_index.py:78-79) and a random-hyperplane-LSH bucketed variant as
   * the 100 TB scale path.
   *
-  * Dot products are built-in higher-order functions (`aggregate(zip_with)`)
-  * — codegen'd, no UDF (SURVEY.md R7).
+  * Hot-path arithmetic (cosine, RHP signatures) runs through the compiled
+  * kernels in [[graft.functions.VectorExprs]]: Spark's higher-order array
+  * lambdas are interpreted, and the round-1 fold-based forms cost ~4k
+  * interpreted expression nodes per row (BENCH/BASELINE.md §4.1). The
+  * kernels keep the identical FP operation order, so outputs are unchanged.
   */
 object SimOps {
 
-  /** Inner product of two float-array columns in double precision. */
+  /** Inner product of two float-array columns in double precision (HOF
+    * reference form — kept as the readable spec of what the compiled
+    * kernel computes; not used on the hot path). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Exact cosine similarity — compiled kernel, float or double arrays. */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector: broadcast the
     * (small) query side against the corpus, one shuffle for the per-query
@@ -40,46 +47,45 @@ object SimOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Random-hyperplane signature: bit b = sign of dot(v, h_b) where h_b is a
-    * deterministic FNV-derived ±1 hyperplane. Hyperplanes are materialized
-    * as array literals (constant-folded, no per-row hashing). `dim` must
-    * match the embedding width. */
-  def rhpSignature(v: Column, bits: Int, dim: Int = 64): Column = {
-    val planes: Array[Column] = Array.tabulate(bits) { b =>
-      lit(Array.tabulate(dim) { i =>
-        if ((graft.lexical.Tokenset.fnv1a64(s"rhp:$b:$i") & 1L) == 1L) 1.0 else -1.0
-      })
-    }
-    array(planes.map { h =>
-      when(aggregate(zip_with(v, h, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x) >= 0, 1).otherwise(0)
-    }: _*)
+  /** Random-hyperplane signature packed into a Long: bit b = sign of
+    * dot(v, h_b) where h_b is a deterministic FNV-derived ±1 hyperplane.
+    * One compiled loop per row (VectorExprs.rhpSig). */
+  def rhpSignature(v: Column, bits: Int, dim: Int = 64): Column =
+    VectorExprs.rhpSig(v, bits, dim)
+
+  /** (vec_id, band, bucket) blocking table from packed signatures: bucket =
+    * the band's row bits, extracted with unsigned shifts (codegen'd — no
+    * array slicing, no string buckets). */
+  private def banded(df: DataFrame, bits: Int, bands: Int): DataFrame = {
+    val rows = bits / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    df.select(col("vec_id"), rhpSignature(col("embedding"), bits).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", expr(s"shiftrightunsigned(sig, band * $rows)").bitwiseAND(lit(mask)))
+      .select(col("vec_id"), col("band"), col("bucket"))
   }
 
   /** LSH-bucketed approximate top-k: block by hyperplane-signature bands,
     * exact-rerank within buckets. At 10^12 rows the band join replaces the
-    * corpus×query product; recall is tuned by (bits, bands). */
+    * corpus×query product; recall is tuned by (bits, bands) — see the
+    * RecallBench sweep in BENCH/BASELINE.md. Candidates are deduped on ids
+    * only (cheap shuffle keys); vectors are re-joined for verification. */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    bits: Int = 16, bands: Int = 4): DataFrame = {
+                    bits: Int = 16, bands: Int = 8): DataFrame = {
     require(bits % bands == 0)
-    val rows = bits / bands
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"), rhpSignature(col("embedding"), bits).as("sig"))
-        .select(col("vec_id"), col("embedding"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cb = banded(corpus)
-    val qb = banded(queries)
-    val cand = cb.as("c").join(qb.as("q"),
+    val cand = banded(corpus, bits, bands).as("c")
+      .join(banded(queries, bits, bands).as("q"),
         col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("q.embedding").as("qe"), col("c.embedding").as("ce"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+    cand.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -90,14 +96,8 @@ object SimOps {
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
                          bits: Int = 16, bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
-    val rows = bits / bands
-    val banded = df.select(col("vec_id"), col("embedding"),
-        rhpSignature(col("embedding"), bits).as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("x").join(banded.as("y"),
+    val b = banded(df, bits, bands)
+    val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

@@ -92,15 +92,12 @@ object TextOps {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
   }
 
-  /** Word k-gram shingle set (distinct, as array). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = words(text)
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+  /** Word k-gram shingle set (distinct, as array) — compiled single-pass
+    * expression (graft.functions.WordShinglesExpr); the column-function
+    * form re-sliced the token array per gram position, O(n²) interpreted
+    * allocation per document. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.VectorExprs.wordShingles(text, k)
 
   /** Exploded (doc_id, shingle) pairs with per-doc set sizes. */
   private def shingleTable(df: DataFrame, textCol: String, k: Int): DataFrame =
@@ -116,14 +113,26 @@ object TextOps {
     * exact rational (inter, union) plus a rounded similarity. */
   def jaccardPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
                    threshold: Double = 0.8, maxShingleFreq: Int = 1000): DataFrame = {
+    // Shingles are 64-bit-hashed before the wide stages: the exploded table
+    // shuffles 8-byte keys instead of k-word strings. (A hash collision
+    // could in principle merge two shingles — p ≈ n²/2⁶⁵, immaterial below
+    // ~10⁹ distinct shingles per skew-guarded posting list.)
     val st = shingleTable(df, textCol, k)
-    val rare = st.groupBy("shingle").agg(count("*").as("df_freq"))
-      .filter(col("df_freq") <= maxShingleFreq)
-    val pruned = st.join(rare, "shingle")
-    val inter = pruned.as("x").join(pruned.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.set_size").as("sa"), col("y.set_size").as("sb"))
+      .select(col("doc_id"), col("set_size"), xxhash64(col("shingle")).as("sh"))
+    // df_freq prune: partial-agg count (map-side combined, tiny rows), then
+    // posting lists per surviving shingle. The join and the groupBy share
+    // the `sh` hash partitioning, so the exploded table is shuffled ONCE;
+    // pairs are generated by exploding within each posting list — quadratic
+    // only inside a list, bounded by maxShingleFreq (the skew guard).
+    val freq = st.groupBy("sh").agg(count("*").as("df_freq"))
+      .filter(col("df_freq").between(2, maxShingleFreq))
+    val posting = st.join(freq, "sh")
+      .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
+    val inter = posting
+      .select(explode(col("ps")).as("x"), col("ps"))
+      .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
+      .filter(col("a") < col("y.doc_id"))
+      .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
       .agg(count("*").as("inter"))
     inter
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
@@ -132,16 +141,22 @@ object TextOps {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** MinHash signatures as a relational plan: exploded shingles × seed range
-    * → seeded xxhash64 → min per (doc, seed). Codegen'd throughout (the
-    * per-row transform/array_min form runs interpreted — see simhashSigs).
-    * Returns (doc_id, seed, mh). */
-  def minhashTable(df: DataFrame, textCol: String, k: Int, numHashes: Int): DataFrame =
+  /** MinHash signature per document as ONE map-side-combining shuffle:
+    * explode shingles (narrow), then groupBy(doc_id) with numHashes
+    * `min(xxhash64(seed, shingle))` aggregate columns. The round-1 form
+    * exploded shingles × numHashes before its groupBy — 128× the shuffle
+    * volume for the default signature width, a scale-killing constant
+    * factor at 10^12 docs; here partial aggregation reduces each partition
+    * to one (numHashes+1)-column row per doc before the exchange.
+    * Returns (doc_id, sig ARRAY<LONG>[numHashes]). */
+  def minhashSignatures(df: DataFrame, textCol: String, k: Int, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
     df.select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("doc_id"), col("seed"), xxhash64(col("seed"), col("shingle")).as("h"))
-      .groupBy(col("doc_id"), col("seed")).agg(min("h").as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-dup candidates: band the signature, join on band
     * buckets, then verify candidates with exact Jaccard ≥ threshold.
@@ -153,10 +168,10 @@ object TextOps {
                    threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val banded = minhashTable(df, textCol, k, numHashes)
-      .withColumn("band", (col("seed") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh"))))).as("bucket"))
+    val banded = minhashSignatures(df, textCol, k, numHashes)
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", xxhash64(slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .select(col("doc_id"), col("band"), col("bucket"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -182,9 +197,11 @@ object TextOps {
     * parallelizes across the corpus instead of per-row lambda loops.
     * Returns (doc_id, sig). */
   def simhashSigs(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // md5-derived 60-bit word hash (not xxhash64) so the DuckDB oracle can
+    // reproduce signatures bit-exactly (q15) — same trick as md5Long/q11
     val wordHashes = df
       .select(col("doc_id"), explode(words(col(textCol))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).bitwiseAND(0xfffffffffffffffL).as("h"))
+      .select(col("doc_id"), md5Long(col("w")).as("h"))
     val bitVotes = wordHashes
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
       .select(col("doc_id"), col("b"),

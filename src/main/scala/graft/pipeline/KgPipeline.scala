@@ -122,10 +122,29 @@ object KgPipeline {
                         rowsIn: Long, rowsOut: Long, scoredPairs: Long, wallMs: Long)
   case class ScoredPair(subLabel: String, supLabel: String, p: Double)
 
+  /** `scored` is a DataFrame (subLabel, supLabel, p) that never transits
+    * the driver; `release` unpersists the round's intermediate once the
+    * scored pairs have been checkpointed. */
   case class RoundResult(decisions: Seq[DecisionRow], lineage: Seq[LineageRow],
-                         scored: Seq[(String, String, Double)])
+                         scored: DataFrame, release: () => Unit)
 
-  /** Stage 3: link + decide, executor-side against the broadcast snapshot. */
+  /** Per-round slice of the scored-pairs history relevant to this
+    * candidate batch: pairs whose sub OR sup label is a candidate mention.
+    * The full history stays a parquet-backed DataFrame (it grows without
+    * bound across rounds at corpus scale); only this bounded slice — at
+    * most |candidates| × |taxonomy| keys, in practice the pairs re-scored
+    * for returning candidates — is collected and broadcast (SURVEY.md M4).
+    */
+  def priorScoreSlice(candidates: DataFrame, scoredStore: DataFrame): DataFrame = {
+    val m = broadcast(candidates.select(col("mention")))
+    scoredStore.join(m, scoredStore("subLabel") === m("mention"), "left_semi")
+      .union(scoredStore.join(m, scoredStore("supLabel") === m("mention"), "left_semi"))
+      .distinct()
+  }
+
+  /** Stage 3: link + decide, executor-side against the broadcast snapshot.
+    * `priorScores` must already be the bounded per-round slice
+    * ([[priorScoreSlice]]), never the full history. */
   def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
                   models: IconModels, cfg: PipelineConfig, round: Int,
                   priorScores: Map[(String, String), Double]): RoundResult = {
@@ -134,6 +153,10 @@ object KgPipeline {
     val bTaxo = sc.broadcast(taxo)
     val bModels = sc.broadcast(models)
     val bPrior = sc.broadcast(priorScores)
+    // the label-hash → node lexical table is built ONCE from the snapshot
+    // and shipped with the broadcast, not rebuilt in every task
+    val bLexical = sc.broadcast(
+      taxo.nodes.iterator.map(n => Tokenset.hash64(taxo.getLabel(n)) -> n).toMap)
     val iconCfg = cfg.icon
     val retrieve = cfg.retrieveSize
 
@@ -155,7 +178,7 @@ object KgPipeline {
       }
     val bIndex = sc.broadcast((nodeIds, vecs))
 
-    val rows = candidates.select(col("mention")).as[String]
+    val raw = candidates.select(col("mention")).as[String]
       .mapPartitions { it =>
         val t0 = System.currentTimeMillis()
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -165,8 +188,7 @@ object KgPipeline {
         val index = new VectorIndex(ids, vs)
         val cache = new ScoreCache(m.sub)
         cache.importAll(bPrior.value.iterator.map { case ((a, b), p) => (a, b, p) })
-        val lexical = snapshot.nodes.iterator.map(n => Tokenset.hash64(snapshot.getLabel(n)) -> n)
-          .toMap
+        val lexical = bLexical.value
         val batch = it.toSeq
         val decisions = batch.map { label =>
           val base = index.search(m.emb.embedOne(label), retrieve)._2.toSeq
@@ -178,13 +200,17 @@ object KgPipeline {
           cache.pairsScored, System.currentTimeMillis() - t0)
         val scored = cache.export.map { case (a, b, p) => ScoredPair(a, b, p) }
         Iterator((decisions, Seq(lineage), scored))
-      }.collect()
+      }.persist()
 
-    val scored = rows.iterator.flatMap(_._3)
-      .map(s => (s.subLabel, s.supLabel) -> s.p).toMap
-      .iterator.map { case ((a, b), p) => (a, b, p) }.toSeq
+    // scored pairs stay a distributed dataset (they are written straight to
+    // the round's parquet checkpoint by run(), never collected); decisions
+    // and lineage are bounded by maxCandidatesPerRound and the task count,
+    // so collecting them for the deterministic driver commit is safe.
+    val scoredDF = raw.flatMap(_._3).toDF("subLabel", "supLabel", "p")
+      .groupBy("subLabel", "supLabel").agg(first("p").as("p"))
+    val rows = raw.map(r => (r._1, r._2)).collect()
     RoundResult(rows.iterator.flatMap(_._1).toSeq.sortBy(_.label),
-      rows.iterator.flatMap(_._2).toSeq, scored)
+      rows.iterator.flatMap(_._2).toSeq, scoredDF, () => raw.unpersist())
   }
 
   /** Stage 4: deterministic-order driver commit with cycle screening (P4). */
@@ -326,10 +352,13 @@ object KgPipeline {
         edges.foreach { case (u, v, l) => t.addEdge(u, v, l) }
         t
       }
-    var priorScores: Map[(String, String), Double] =
-      if (resumeRound == 0) Map.empty
+    // the scored-pairs memo is parquet-backed and stays distributed: it
+    // grows without bound across rounds, so it is never collected whole —
+    // each round broadcasts only the candidate-relevant slice
+    var scoredStore: DataFrame =
+      if (resumeRound == 0)
+        spark.emptyDataset[(String, String, Double)].toDF("subLabel", "supLabel", "p")
       else spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/scored_pairs")
-        .as[(String, String, Double)].collect().map { case (a, b, p) => (a, b) -> p }.toMap
     var nextKey = taxo.nodes.max + 1
     val allLineage = mutable.ArrayBuffer.empty[LineageRow]
     val allDeltas = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
@@ -364,7 +393,11 @@ object KgPipeline {
           .localCheckpoint(true)
       }
 
-      val result = timed("decide")(decideRound(spark, fresh, taxo, models, cfg, r, priorScores))
+      val priorSlice = timed("prior_slice") {
+        priorScoreSlice(fresh, scoredStore).as[(String, String, Double)]
+          .collect().map { case (a, b, p) => (a, b) -> p }.toMap
+      }
+      val result = timed("decide")(decideRound(spark, fresh, taxo, models, cfg, r, priorSlice))
       allLineage ++= result.lineage
 
       val (nk, delta, newConcepts) = timed("commit")(commit(taxo, result.decisions, nextKey, r))
@@ -381,18 +414,23 @@ object KgPipeline {
       for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
         sameAs += ((dl, cl, r))
 
-      priorScores = priorScores ++ result.scored.map { case (a, b, p) => (a, b) -> p }
-
-      // 6. checkpoint (atomic via COMMIT marker written last)
+      // 6. checkpoint (atomic via COMMIT marker written last). The scored
+      // store is accumulated distributed: old store ∪ (new pairs anti-joined
+      // against it), written straight from the executors — the history never
+      // transits the driver. (No coalesce(1): at corpus scale the store is
+      // itself a big table; re-reading the written parquet also cuts the
+      // union lineage chain so rounds don't stack up a growing plan.)
       timed("checkpoint") {
         val rd = roundDir(ckptDir, r)
         taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
         taxo.edges.toDF("src", "dst", "label")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
-        priorScores.toSeq.map { case ((a, b), p) => (a, b, p) }
-          .toDF("subLabel", "supLabel", "p")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
+        val fresh = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
+        scoredStore.union(fresh)
+          .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
+        result.release()
+        scoredStore = spark.read.parquet(s"$rd/scored_pairs")
         result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
         Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
       }

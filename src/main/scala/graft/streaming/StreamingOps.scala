@@ -28,6 +28,38 @@ object StreamingOps {
       .start()
   }
 
+  /** Append-mode, watermarked streaming mention counts — the production
+    * shape (bounded state: windows are evicted once the watermark passes,
+    * unlike the complete-mode smoke above). Corpus rows are stamped into an
+    * ingest-hour window; a sentinel row (doc_id < 0, empty text — yields no
+    * mentions) arrives 3 hours later and advances the watermark past the
+    * corpus window so AvailableNow's final no-data micro-batch flushes the
+    * closed window's counts to the sink. The watermark is attached BEFORE
+    * the mention explode so the mention-less sentinel still advances it. */
+  def streamingMentionsAppend(spark: SparkSession, docsDir: String,
+                              docsSchema: org.apache.spark.sql.types.StructType,
+                              sentinelDir: String,
+                              sentinelSchema: org.apache.spark.sql.types.StructType,
+                              queryName: String = "mentions_append"): StreamingQuery = {
+    val base = lit("2026-01-01 00:30:00").cast("timestamp")
+    val flush = lit("2026-01-01 03:00:00").cast("timestamp")
+    val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), col("text"))
+    val sentinel = spark.readStream.schema(sentinelSchema).parquet(sentinelDir)
+      .select(col("doc_id"), col("text"))
+    docs.union(sentinel)
+      .withColumn("ts", when(col("doc_id") >= 0, base).otherwise(flush))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(KgPipeline.mentionBigrams(col("text"))).as("mention"))
+      .groupBy(window(col("ts"), "1 hour"), col("mention"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("mention"), col("freq"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming hourly event aggregation with a watermark (append mode). */
   def streamingEventAgg(spark: SparkSession, inputDir: String,
                         schema: org.apache.spark.sql.types.StructType,

@@ -52,17 +52,21 @@ class OpsSpec extends SparkSpecBase {
     assert(knn(2L) == 2L)
   }
 
-  test("lsh top-k is a subset of brute force with same ranking rule") {
+  test("lsh top-k: verified cosines are exact and recall vs brute force is high") {
     val vecs = (0L until 50L).map { i =>
       (i, Array.tabulate(8)(j => ((graft.lexical.Tokenset.fnv1a64(s"$i:$j") % 1000L) / 1000.0f)))
     }.toDF("vec_id", "embedding")
     val bf = SimOps.cosineTopK(vecs, vecs.filter($"vec_id" < 3), 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
     val lsh = SimOps.lshCosineTopK(vecs, vecs.filter($"vec_id" < 3), 5, bits = 8, bands = 8)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // bands = bits (1-bit rows) gives near-total recall on 50 vectors
-    assert(lsh.subsetOf(bf) || lsh == bf)
-    assert(lsh.size >= bf.size / 2)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    // the verification cosine is exact: any pair retrieved by both paths
+    // carries the identical score
+    val bfCos = bf.map { case (q, n, c) => (q, n) -> c }.toMap
+    for ((q, n, c) <- lsh; exact <- bfCos.get((q, n))) assert(c == exact)
+    // 1-bit rows give high (not guaranteed-total) recall on 50 vectors
+    val shared = lsh.map(r => (r._1, r._2)).toSet.intersect(bf.map(r => (r._1, r._2)).toSet)
+    assert(shared.size >= (bf.length * 7) / 10, s"recall ${shared.size}/${bf.length}")
   }
 
   test("connected components: chains, stars, isolated nodes") {

@@ -26,6 +26,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("append-mode watermarked mention counts equal the batch extraction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_in_app").toString
+    val web = WebtextGen.generate(spark, 300, 4)
+      .select(monotonically_increasing_id().as("doc_id"),
+        graft.extract.HtmlExtract.extractBinary(col("html")).as("text"))
+    web.write.mode("overwrite").parquet(dir)
+    val sentinelDir = Files.createTempDirectory("stream_sentinel").toString
+    Seq((-1L, "")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(sentinelDir)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.streamingMentionsAppend(spark, dir, schema,
+      sentinelDir, spark.read.parquet(sentinelDir).schema, "mentions_append_test")
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT mention, freq FROM mentions_append_test")
+      .as[(String, Long)].collect().toMap
+    val batch = KgPipeline.extractMentions(web, "text", 1L)
+      .as[(String, Long)].collect().toMap
+    // append mode emitted the CLOSED window: counts must equal batch exactly
+    assert(streamed == batch)
+  }
+
+  test("q31 streams a single-file parquet table via symlink dir (driver shape)") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q31_streaming_mentions")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val batch = KgPipeline.extractMentions(
+        spark.read.parquet(s"$d/documents.parquet"), "text", 3L)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly event agg produces windows under watermark") {
     // readStream needs a directory, not a single parquet file
     val dir = Files.createTempDirectory("stream_ev").toString
