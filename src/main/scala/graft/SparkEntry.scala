@@ -506,12 +506,13 @@ object SparkEntry {
   val AnnK = 5
 
   /** ±1 hyperplane VALUES literal — the exact sign matrix RhpSigExpr uses
-    * (fnv1a64-derived), so the DuckDB oracle reproduces the banding
-    * bit-for-bit and q18 gets a hard hash check, not a rows-only one. */
+    * (VectorExprs.rhpSign, single source of truth), so the DuckDB oracle
+    * reproduces the banding bit-for-bit and q18 gets a hard hash check,
+    * not a rows-only one. */
   private def planesValues(bits: Int, dim: Int): String =
     (0 until bits).map { b =>
       val vals = (0 until dim).map(i =>
-        if ((graft.lexical.Tokenset.fnv1a64(s"rhp:$b:$i") & 1L) == 1L) "1.0" else "-1.0")
+        if (graft.functions.VectorExprs.rhpSign(b, i) > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
       s"($b, $vals)"
     }.mkString(", ")
@@ -520,10 +521,18 @@ object SparkEntry {
     val rows = AnnBits / AnnBands
     val mask = (1L << rows) - 1
     s"""WITH planes AS (SELECT * FROM (VALUES ${planesValues(AnnBits, 64)}) t(b, p)),
+       |dmean AS (
+       |  SELECT i, round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY i),
+       |mu AS (SELECT list(m ORDER BY i) AS mu FROM dmean),
+       |centered AS (
+       |  SELECT vec_id, list_transform(range(1, 65),
+       |    j -> CAST(embedding[j] AS DOUBLE) - mu[j]) AS cemb
+       |  FROM embeddings, mu),
        |sigb AS (
-       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p) >= 0
+       |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(cemb, p) >= 0
        |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM embeddings, planes GROUP BY vec_id),
+       |  FROM centered, planes GROUP BY vec_id),
        |banded AS (
        |  SELECT vec_id, b AS band, (sig >> (b * $rows)) & $mask AS bucket
        |  FROM sigb, range($AnnBands) t(b)),

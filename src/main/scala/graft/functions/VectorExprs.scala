@@ -30,12 +30,48 @@ object VectorExprs {
   def wordShingles(text: Column, k: Int): Column =
     toColumn(WordShinglesExpr(toExpr(text), k))
 
+  /** Distinct word k-gram shingle hashes (compiled; long array). */
+  def wordShingleHashes(text: Column, k: Int): Column =
+    toColumn(WordShingleHashesExpr(toExpr(text), k))
+
+  /** 60-bit document SimHash (compiled single pass, md5-derived word
+    * hashes — DuckDB-reproducible). */
+  def simhash60(text: Column): Column = toColumn(SimHashExpr(toExpr(text)))
+
+  /** MinHash signature (compiled single-pass projection; long array). */
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    toColumn(MinHashSigExpr(toExpr(text), k, numHashes))
+
   /** Random-hyperplane LSH signature packed into a Long (bits ≤ 64): bit b
-    * is the sign of dot(v, h_b) for the deterministic FNV-derived ±1
-    * hyperplane h_b. Bit order matches the old array form (bit b at
-    * position b); band buckets are extracted with shiftrightunsigned. */
-  def rhpSig(v: Column, bits: Int, dim: Int = 64): Column =
-    toColumn(RhpSigExpr(toExpr(v), bits, dim))
+    * is the sign of dot(v - center, h_b) for the deterministic FNV-derived
+    * ±1 hyperplane h_b. `center` (usually the per-dimension corpus mean,
+    * rounded so an external oracle can reproduce it) is essential for
+    * biased data: all-positive embeddings give every plane dot the same
+    * sign and collapse the signature space (measured: 2 distinct sigs over
+    * 500 uncentered synthetic vectors). Bit order: bit b at position b;
+    * band buckets are extracted with shiftrightunsigned. */
+  def rhpSig(v: Column, bits: Int, dim: Int = 64,
+             center: Seq[Double] = Nil): Column =
+    toColumn(RhpSigExpr(toExpr(v), bits, dim, center))
+
+  /** murmur3 fmix64 finalizer. FNV-1a alone is NOT usable for sign bits:
+    * its low bit is GF(2)-linear in the input bytes (bit 0 survives the odd
+    * multiply unchanged), so ±1 planes derived from `fnv & 1` collapse to
+    * two alternating rows — measured: 2 distinct signatures over 500
+    * vectors, ANN recall stuck at 0.57 for every (bits, bands). */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+
+  /** The deterministic ±1 hyperplane sign for (plane b, dimension i) —
+    * single source of truth shared by RhpSigExpr and the DuckDB oracle
+    * literal generator (SparkEntry.planesValues). */
+  def rhpSign(b: Int, i: Int): Double =
+    if ((fmix64(graft.lexical.Tokenset.fnv1a64(s"rhp:$b:$i")) & 1L) == 1L) 1.0 else -1.0
 
   private[functions] def readAsDouble(arr: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => arr.getFloat(i).toDouble
@@ -118,10 +154,168 @@ case class WordShinglesExpr(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Distinct word k-gram shingle FNV-1a64 hashes in one compiled pass — the
+  * verification-side twin of [[WordShinglesExpr]]: identical tokenization
+  * and gram construction, but emits the 64-bit hash of each gram so the
+  * candidate-verification join shuffles long arrays instead of k-word
+  * string arrays and set-intersects longs. Intersection/union sizes over
+  * the hashes equal those over the strings up to 2⁻⁶⁴-scale collisions. */
+case class WordShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= k) {
+      val sb = new java.lang.StringBuilder(k * 12)
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(graft.lexical.Tokenset.fnv1a64(sb.toString))
+        i += 1
+      }
+    } else {
+      out.add(graft.lexical.Tokenset.fnv1a64(toks.mkString(" ")))
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+/** MinHash signature of a document in ONE compiled pass — a projection,
+  * not an aggregation: tokenize, build distinct k-gram FNV hashes (same
+  * gram construction as WordShingleHashesExpr), then take per-seed minima
+  * of multiply-add permutations over the 64-bit ring (a_i odd — the
+  * standard universal-hashing MinHash family; wraparound multiplication is
+  * fine in JVM code where the ANSI SQL planner would reject it). The
+  * relational explode→groupBy form shuffled ~129 longs per document per
+  * input partition (≈1 GB at 10⁶ docs) and capped dedup scaling at ~0.6;
+  * as a projection the signature costs grams × numHashes fused
+  * multiply-adds per row and shuffles nothing. */
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      VectorExprs.fmix64(graft.lexical.Tokenset.fnv1a64(s"mh:a:$i")) | 1L)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      VectorExprs.fmix64(graft.lexical.Tokenset.fnv1a64(s"mh:b:$i")))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val grams = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= k) {
+      val sb = new java.lang.StringBuilder(k * 12)
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        grams.add(graft.lexical.Tokenset.fnv1a64(sb.toString))
+        i += 1
+      }
+    } else {
+      grams.add(graft.lexical.Tokenset.fnv1a64(toks.mkString(" ")))
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val it = grams.iterator()
+    while (it.hasNext) {
+      val g = it.next().longValue()
+      var s = 0
+      while (s < numHashes) {
+        val v = as(s) * g + bs(s)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 60-bit SimHash of a document in ONE compiled pass: lowercase,
+  * whitespace-tokenize, md5-derive a 60-bit hash per word occurrence
+  * (bit-identical to TextOps.md5Long / the DuckDB oracle:
+  * conv(substr(md5(w),1,15),16,10)), majority-vote the bits. Replaces the
+  * relational explode(words) × explode(60 bit positions) plan, which
+  * pushed words×60 rows (≈2·10⁹ at 3·10⁵ docs) through two shuffles —
+  * here the corpus is touched once and nothing is exploded at all. */
+case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    val toks = text.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      if (w.nonEmpty) {
+        md.reset()
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = high 60 bits of the first 7.5 bytes
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h >>>= 4 // keep the leading 15 hex digits (60 bits)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash60"
+}
+
 /** Packed random-hyperplane signature: deterministic ±1 hyperplanes derived
   * from fnv1a64("rhp:b:i") — identical sign matrix to the round-1 array
   * form, one compiled loop instead of bits × dim interpreted lambdas. */
-case class RhpSigExpr(child: Expression, bits: Int, dim: Int)
+case class RhpSigExpr(child: Expression, bits: Int, dim: Int,
+                      center: Seq[Double] = Nil)
     extends UnaryExpression with CodegenFallback {
   require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
   override def dataType: DataType = LongType
@@ -130,15 +324,19 @@ case class RhpSigExpr(child: Expression, bits: Int, dim: Int)
   @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
   // signs(b)(i) = +1.0 / -1.0, recomputed deterministically on each executor
   @transient private lazy val signs: Array[Array[Double]] =
-    Array.tabulate(bits, dim)((b, i) =>
-      if ((Tokenset.fnv1a64(s"rhp:$b:$i") & 1L) == 1L) 1.0 else -1.0)
+    Array.tabulate(bits, dim)(VectorExprs.rhpSign)
+  @transient private lazy val centerArr: Array[Double] = center.toArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), dim)
     val x = new Array[Double](n)
     var i = 0
-    while (i < n) { x(i) = VectorExprs.readAsDouble(v, et, i); i += 1 }
+    while (i < n) {
+      x(i) = VectorExprs.readAsDouble(v, et, i) -
+        (if (i < centerArr.length) centerArr(i) else 0.0)
+      i += 1
+    }
     var sig = 0L
     var b = 0
     while (b < bits) {

@@ -48,18 +48,35 @@ object SimOps {
   }
 
   /** Random-hyperplane signature packed into a Long: bit b = sign of
-    * dot(v, h_b) where h_b is a deterministic FNV-derived ±1 hyperplane.
-    * One compiled loop per row (VectorExprs.rhpSig). */
-  def rhpSignature(v: Column, bits: Int, dim: Int = 64): Column =
-    VectorExprs.rhpSig(v, bits, dim)
+    * dot(v - center, h_b) where h_b is a deterministic FNV-derived ±1
+    * hyperplane. One compiled loop per row (VectorExprs.rhpSig). */
+  def rhpSignature(v: Column, bits: Int, dim: Int = 64,
+                   center: Seq[Double] = Nil): Column =
+    VectorExprs.rhpSig(v, bits, dim, center)
+
+  /** Per-dimension corpus mean, rounded to 6 dp so the DuckDB oracle can
+    * rebuild the identical centering vector. One cheap aggregation pass;
+    * the dim-sized result rides into the signature expression as literals.
+    * RHP-LSH needs centered data: biased (e.g. all-positive) embeddings
+    * give every hyperplane dot the same sign and collapse all vectors into
+    * a couple of buckets. */
+  def dimMeans(df: DataFrame, dim: Int = 64): Seq[Double] = {
+    // try_element_at: vectors narrower than `dim` contribute nulls (ANSI
+    // element_at would fail the whole job); all-null dims center at 0
+    val row = df.select((0 until dim).map(i =>
+      round(avg(expr(s"try_element_at(embedding, ${i + 1})").cast("double")), 6).as(s"m$i")): _*)
+      .head()
+    (0 until dim).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+  }
 
   /** (vec_id, band, bucket) blocking table from packed signatures: bucket =
     * the band's row bits, extracted with unsigned shifts (codegen'd — no
     * array slicing, no string buckets). */
-  private def banded(df: DataFrame, bits: Int, bands: Int): DataFrame = {
+  private def banded(df: DataFrame, bits: Int, bands: Int,
+                     center: Seq[Double]): DataFrame = {
     val rows = bits / bands
     val mask = if (rows == 64) -1L else (1L << rows) - 1
-    df.select(col("vec_id"), rhpSignature(col("embedding"), bits).as("sig"))
+    df.select(col("vec_id"), rhpSignature(col("embedding"), bits, center = center).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket", expr(s"shiftrightunsigned(sig, band * $rows)").bitwiseAND(lit(mask)))
       .select(col("vec_id"), col("band"), col("bucket"))
@@ -73,8 +90,10 @@ object SimOps {
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     bits: Int = 16, bands: Int = 8): DataFrame = {
     require(bits % bands == 0)
-    val cand = banded(corpus, bits, bands).as("c")
-      .join(banded(queries, bits, bands).as("q"),
+    // corpus statistics center BOTH sides (queries must band identically)
+    val mu = dimMeans(corpus)
+    val cand = banded(corpus, bits, bands, mu).as("c")
+      .join(broadcast(banded(queries, bits, bands, mu)).as("q"),
         col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
@@ -96,7 +115,7 @@ object SimOps {
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
                          bits: Int = 16, bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
-    val b = banded(df, bits, bands)
+    val b = banded(df, bits, bands, dimMeans(df))
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -99,11 +99,14 @@ object TextOps {
   def shingles(text: Column, k: Int): Column =
     graft.functions.VectorExprs.wordShingles(text, k)
 
-  /** Exploded (doc_id, shingle) pairs with per-doc set sizes. */
-  private def shingleTable(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(col("doc_id"), shingles(col(textCol), k).as("sh"))
-      .withColumn("set_size", size(col("sh")))
-      .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+  /** Exploded (doc_id, shingle-hash) pairs with per-doc set sizes — grams
+    * are hashed inside the compiled shingle pass; no k-word strings are
+    * materialized. */
+  private def shingleHashTable(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(col("doc_id"),
+        graft.functions.VectorExprs.wordShingleHashes(col(textCol), k).as("shs"))
+      .withColumn("set_size", size(col("shs")))
+      .select(col("doc_id"), col("set_size"), explode(col("shs")).as("sh"))
 
   /** n-gram Jaccard near-dup pairs (a < b) with similarity ≥ threshold.
     * Inverted-index join on shingles: |∩| by groupBy pair, |∪| from set
@@ -113,12 +116,12 @@ object TextOps {
     * exact rational (inter, union) plus a rounded similarity. */
   def jaccardPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
                    threshold: Double = 0.8, maxShingleFreq: Int = 1000): DataFrame = {
-    // Shingles are 64-bit-hashed before the wide stages: the exploded table
-    // shuffles 8-byte keys instead of k-word strings. (A hash collision
-    // could in principle merge two shingles — p ≈ n²/2⁶⁵, immaterial below
-    // ~10⁹ distinct shingles per skew-guarded posting list.)
-    val st = shingleTable(df, textCol, k)
-      .select(col("doc_id"), col("set_size"), xxhash64(col("shingle")).as("sh"))
+    // Shingles are 64-bit-hashed inside the compiled gram pass: the
+    // exploded table shuffles 8-byte keys instead of k-word strings. (A
+    // hash collision could in principle merge two shingles — p ≈ n²/2⁶⁵,
+    // immaterial below ~10⁹ distinct shingles per skew-guarded posting
+    // list.)
+    val st = shingleHashTable(df, textCol, k)
     // df_freq prune: partial-agg count (map-side combined, tiny rows), then
     // posting lists per surviving shingle. The join and the groupBy share
     // the `sh` hash partitioning, so the exploded table is shuffled ONCE;
@@ -141,22 +144,18 @@ object TextOps {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** MinHash signature per document as ONE map-side-combining shuffle:
-    * explode shingles (narrow), then groupBy(doc_id) with numHashes
-    * `min(xxhash64(seed, shingle))` aggregate columns. The round-1 form
-    * exploded shingles × numHashes before its groupBy — 128× the shuffle
-    * volume for the default signature width, a scale-killing constant
-    * factor at 10^12 docs; here partial aggregation reduces each partition
-    * to one (numHashes+1)-column row per doc before the exchange.
+  /** MinHash signature per document as a compiled PROJECTION -- zero
+    * shuffles (graft.functions.MinHashSigExpr). Evolution, each step
+    * measured at sf0.1 / the 10^6-doc dedup bench: round 1 exploded
+    * shingles x numHashes before a groupBy (128x shuffle volume, 75 s);
+    * a map-side-combining groupBy with numHashes min-agg columns cut that
+    * to 7.6 s but still pushed ~(numHashes+1) longs per doc per input
+    * partition through the exchange, capping dedup-family scaling at ~0.6;
+    * the projection form shuffles nothing and scales with the scan.
     * Returns (doc_id, sig ARRAY<LONG>[numHashes]). */
-  def minhashSignatures(df: DataFrame, textCol: String, k: Int, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    df.select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-  }
+  def minhashSignatures(df: DataFrame, textCol: String, k: Int, numHashes: Int): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.VectorExprs.minhashSig(col(textCol), k, numHashes).as("sig"))
 
   /** MinHash-LSH near-dup candidates: band the signature, join on band
     * buckets, then verify candidates with exact Jaccard ≥ threshold.
@@ -177,8 +176,11 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact-Jaccard verification of the candidates (join text back in)
-    val texts = df.select(col("doc_id"), shingles(col(textCol), k).as("sh"))
+    // exact-Jaccard verification of the candidates: join back the compiled
+    // long-hash shingle arrays (8-byte elements through the shuffle and the
+    // set ops, instead of k-word strings)
+    val texts = df.select(col("doc_id"),
+      graft.functions.VectorExprs.wordShingleHashes(col(textCol), k).as("sh"))
     val withSets = cand
       .join(texts.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
       .join(texts.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
@@ -189,32 +191,15 @@ object TextOps {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** 60-bit SimHash per document (bit-majority vote over word hashes) as a
-    * relational plan: explode words → explode bit positions → groupBy
-    * majority vote → disjoint-bit sum. Higher-order array functions are NOT
-    * whole-stage-codegen'd in Spark (interpreted ArrayFilter measured 1.4
-    * s/row here) — the explode/groupBy form is codegen'd end to end and
-    * parallelizes across the corpus instead of per-row lambda loops.
+  /** 60-bit SimHash per document (bit-majority vote over md5-derived word
+    * hashes, DuckDB-reproducible — q15) in one compiled pass per document
+    * (graft.functions.SimHashExpr). The round-1 relational form exploded
+    * words × 60 bit positions through two shuffles — ~2·10⁹ shuffled rows
+    * at 3·10⁵ docs; this touches the corpus once with no explode.
     * Returns (doc_id, sig). */
-  def simhashSigs(df: DataFrame, textCol: String = "text"): DataFrame = {
-    // md5-derived 60-bit word hash (not xxhash64) so the DuckDB oracle can
-    // reproduce signatures bit-exactly (q15) — same trick as md5Long/q11
-    val wordHashes = df
-      .select(col("doc_id"), explode(words(col(textCol))).as("w"))
-      .select(col("doc_id"), md5Long(col("w")).as("h"))
-    val bitVotes = wordHashes
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .select(col("doc_id"), col("b"),
-        (expr("shiftright(h, cast(b AS int))").bitwiseAND(1) * 2 - 1).as("vote"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum("vote").as("s"))
-    val sigs = bitVotes
-      .select(col("doc_id"),
-        when(col("s") > 0, expr("shiftleft(1L, cast(b AS int))")).otherwise(lit(0L)).as("bit"))
-      .groupBy(col("doc_id")).agg(sum("bit").as("sig")) // bits disjoint: sum == OR
-    df.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("sig"), lit(0L)).as("sig"))
-  }
+  def simhashSigs(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+      graft.functions.VectorExprs.simhash60(col(textCol)).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
     * 15-bit quarters (pigeonhole: any pair within distance ≤ 3 shares at

@@ -20,6 +20,9 @@ object RunPipeline {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
+      // the pipeline drives GraphOps fixpoints from driver-built frames in
+      // the distributed-canonicalize path; see GraphOps session note
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

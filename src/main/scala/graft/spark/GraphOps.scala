@@ -14,6 +14,15 @@ import org.apache.spark.storage.StorageLevel
   * join/union/distinct fixpoints so they work when the graph itself is the
   * distributed axis (SURVEY.md §2.2). Iteration counts are bounded by graph
   * depth; every loop persists + localCheckpoints its frontier to cut lineage.
+  *
+  * Session note: when these fixpoints are driven from DRIVER-BUILT
+  * DataFrames (`Seq.toDF`, as in tests or the pipeline's distributed
+  * canonicalize path), Spark's constraint propagation can fail inside
+  * `Union.rewriteConstraints` with `NoSuchElementException: key not found:
+  * <attr>` — localCheckpointed plans carry origin constraints whose
+  * attribute ids no longer resolve. Set
+  * `spark.sql.constraintPropagation.enabled=false` in such sessions
+  * (SparkSpecBase does); parquet-backed inputs are unaffected.
   */
 object GraphOps {
 
@@ -24,8 +33,12 @@ object GraphOps {
     * shuffle volume stays proportional to the closure size.
     */
   def ancestorClosure(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // localCheckpoint (not just persist): the frontier unions below mix this
+    // seed with checkpointed RDD-backed plans; leaving a LocalRelation-
+    // shaped child under the Union trips constraint rewriting
+    // (AttributeMap key-not-found) when the input is a driver-built table
     val e = edges.select(col("src").as("node"), col("dst").as("anc")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var closure = e
     var frontier = e
     var i = 0
@@ -63,9 +76,9 @@ object GraphOps {
   /** Per-node min distance from any root — distributed `annotate_levels`
     * (G13/G15, taxonomy.py:460-517): level-synchronous min propagation. */
   def depths(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var level = roots(nodes, edges).select(col("id"), lit(0).as("depth"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = level
     var i = 0
     var done = false
@@ -104,6 +117,109 @@ object GraphOps {
         "left_semi")
       .select(col("src"), col("dst")).distinct()
     edges.join(redundant, Seq("src", "dst"), "left_anti")
+  }
+
+  /** Distributed `reduce_subset` (G9, taxonomy.py:306-336): drop every
+    * member that is an ancestor of another member (forward; keeps the most
+    * specific), or a descendant (reverse=true; keeps the most general).
+    * `subset` is a node table `(id)`. Pass a precomputed closure when
+    * composing several of these ops to reuse the fixpoint. */
+  def reduceSubset(edges: DataFrame, subset: DataFrame, reverse: Boolean = false,
+                   closure0: Option[DataFrame] = None): DataFrame = {
+    val closure = closure0.getOrElse(ancestorClosure(edges))
+    // closure pairs with BOTH endpoints in the subset: anc is an ancestor
+    // of node, so forward drops the anc side, reverse drops the node side
+    val rel = closure
+      .join(subset.select(col("id").as("node")), Seq("node"), "left_semi")
+      .join(subset.select(col("id").as("anc")), Seq("anc"), "left_semi")
+    val drop =
+      if (reverse) rel.select(col("node").as("id")).distinct()
+      else rel.select(col("anc").as("id")).distinct()
+    subset.join(drop, Seq("id"), "left_anti")
+  }
+
+  /** Distributed `get_LCA` (G10, taxonomy.py:338-372): common ancestors =
+    * nodes whose descendant-or-self set covers every query node, reduced to
+    * the minimal ones. Empty query ⇒ leaves (reference semantics). One
+    * aggregation over the closure instead of the driver's colour-BFS. */
+  def lca(nodes: DataFrame, edges: DataFrame, query: DataFrame,
+          closure0: Option[DataFrame] = None): DataFrame = {
+    val q = query.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n0 = q.count()
+    if (n0 == 0) return leaves(nodes, edges)
+    val closure = closure0.getOrElse(ancestorClosure(edges))
+    val closureSelf = closure
+      .union(q.select(col("id").as("node"), col("id").as("anc")))
+    val ca = closureSelf
+      .join(q.select(col("id").as("node")), Seq("node"), "left_semi")
+      .groupBy(col("anc")).agg(countDistinct(col("node")).as("covered"))
+      .filter(col("covered") === n0)
+      .select(col("anc").as("id"))
+    reduceSubset(edges, ca, reverse = false, closure0 = Some(closure))
+  }
+
+  /** Distributed `get_GCD` (G11 dual): common descendants reduced to the
+    * maximal ones; empty query ⇒ roots. */
+  def gcd(nodes: DataFrame, edges: DataFrame, query: DataFrame): DataFrame = {
+    val q = query.select(col("id")).distinct()
+    if (q.isEmpty) return roots(nodes, edges)
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    lca(nodes, rev, q)
+  }
+
+  /** Distributed `create_insertion_search_space` node set (G12,
+    * taxonomy.py:410-458): everything reachable downward from the LCA of
+    * the reduced base (or the roots when cropTop=false) without expanding
+    * below a base node, excluding strict base-descendants, and — when
+    * strict — keeping only nodes that subsume at least one base node.
+    * Returns the node ids of the sub-taxonomy (the per-candidate traversal
+    * itself stays executor-local against the broadcast snapshot — this is
+    * the contingency for taxonomies beyond broadcast size, SURVEY.md §2.2;
+    * forced-edge-label LCA unions are a label-filtered closure variant not
+    * included here). */
+  def insertionSearchSpaceNodes(nodes: DataFrame, edges: DataFrame, base: DataFrame,
+                                cropTop: Boolean = true, strict: Boolean = false,
+                                maxIter: Int = 64): DataFrame = {
+    val closure = ancestorClosure(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val baseR = reduceSubset(edges, base, reverse = false, closure0 = Some(closure))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top =
+      if (cropTop) lca(nodes, edges, baseR, closure0 = Some(closure))
+      else roots(nodes, edges)
+    val baseDesc = closure
+      .join(baseR.select(col("id").as("anc")), Seq("anc"), "left_semi")
+      .select(col("node").as("id")).distinct()
+    val allowed0 =
+      if (!strict) nodes.select(col("id"))
+      else closure // ancestors-or-self of base
+        .join(baseR.select(col("id").as("node")), Seq("node"), "left_semi")
+        .select(col("anc").as("id")).union(baseR.select(col("id"))).distinct()
+    val allowed = allowed0.join(baseDesc, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var space = top.select(col("id")).distinct().localCheckpoint(true)
+    var frontier = space
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = frontier
+        // don't expand below a base node (reference line 271)
+        .join(baseR, Seq("id"), "left_anti")
+        .join(e, col("id") === col("dst"))
+        .select(col("src").as("id")).distinct()
+        .join(allowed, Seq("id"), "left_semi")
+        .join(space, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        space = space.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      i += 1
+    }
+    space
   }
 
   /** Connected components over an undirected edge set `(a, b)`: min-label

@@ -110,6 +110,27 @@ class GoldenSpec extends AnyFunSuite {
     assertParity("manual_google300", engine, root, decisions, inputs)
   }
 
+  test("manual_google300 parity from a pure config-file artifact") {
+    // the same golden scenario driven entirely by a JSON config document
+    // through ConfigLoader (reference: icon_config_from_yaml, config.py:
+    // 226-230) — proves a run is reproducible from a config artifact alone
+    val (root, taxoJson, decisions) = loadGolden("manual_google300")
+    val inputs = root.get("inputs").elements().asScala.map(_.asText()).toSeq
+    val bases = root.get("bases").elements().asScala
+      .map(_.elements().asScala.map(_.asLong()).toSeq).toSeq
+    val m = new ObjectMapper()
+    def jstr(s: String) = m.writeValueAsString(s)
+    val cfgJson =
+      s"""{"mode": "manual",
+         |"input_concepts": [${inputs.map(jstr).mkString(",")}],
+         |"manual_concept_bases": [${bases.map(_.mkString("[", ",", "]")).mkString(",")}],
+         |"do_update": false}""".stripMargin
+    val cfg = graft.core.ConfigLoader.iconFromString(cfgJson)
+    val engine = new IconEngine(StubModels(), cfg)
+    engine.run(TaxoJson.loadString(taxoJson))
+    assertParity("manual_google300(config-file)", engine, root, decisions, inputs)
+  }
+
   test("manual_google300_tolerance (tolerance=1, force paths) parity") {
     val (root, taxoJson, decisions) = loadGolden("manual_google300_tolerance")
     val inputs = root.get("inputs").elements().asScala.map(_.asText()).toSeq

@@ -1,0 +1,78 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.lexical.Tokenset
+import graft.spark.GraphOps
+import graft.taxo.{MutableTaxo, TaxoJson}
+import org.apache.spark.sql.DataFrame
+
+/** Distributed twins of G9 (reduce_subset) / G10 (get_LCA) / G11 (get_GCD)
+  * / G12 (insertion search space) checked for set-equality against the
+  * driver-side MutableTaxo on the 300-node Google Product Type golden
+  * taxonomy — the contingency path for taxonomies beyond broadcast size
+  * (SURVEY.md §2.2). */
+class GraphTwinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val taxo: MutableTaxo = {
+    val in = getClass.getResourceAsStream("/goldens/manual_google300.json")
+    val root = new ObjectMapper().readTree(in)
+    TaxoJson.loadString(root.get("taxonomy").toString)
+  }
+  private lazy val nodesDF: DataFrame =
+    taxo.nodes.toSeq.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
+  private lazy val edgesDF: DataFrame =
+    taxo.edges.map { case (u, v, _) => (u, v) }.toDF("src", "dst")
+
+  /** Deterministic pseudo-random node subset. */
+  private def sample(seed: Int, mod: Int): Seq[Long] =
+    taxo.nodes.toSeq.sorted.filter(n => ((Tokenset.fnv1a64(s"$seed:$n") % mod) + mod) % mod == 0)
+
+  test("distributed reduce_subset equals the driver twin (both directions)") {
+    for (seed <- 1 to 4) {
+      val subset = sample(seed, 5)
+      val df = subset.toDF("id")
+      val fwd = GraphOps.reduceSubset(edgesDF, df).as[Long].collect().toSet
+      assert(fwd == taxo.reduceSubset(subset).toSet, s"fwd seed=$seed")
+      val rev = GraphOps.reduceSubset(edgesDF, df, reverse = true).as[Long].collect().toSet
+      assert(rev == taxo.reduceSubset(subset, reverse = true).toSet, s"rev seed=$seed")
+    }
+  }
+
+  test("distributed LCA/GCD equal the driver twins, including empty input") {
+    for (seed <- 1 to 4) {
+      val subset = sample(seed, 24)
+      val df = subset.toDF("id")
+      val l = GraphOps.lca(nodesDF, edgesDF, df).select("id").as[Long].collect().toSet
+      assert(l == taxo.getLCA(subset).toSet, s"lca seed=$seed subset=$subset")
+      val g = GraphOps.gcd(nodesDF, edgesDF, df).select("id").as[Long].collect().toSet
+      assert(g == taxo.getGCD(subset).toSet, s"gcd seed=$seed subset=$subset")
+    }
+    val emptyQ = Seq.empty[Long].toDF("id")
+    assert(GraphOps.lca(nodesDF, edgesDF, emptyQ).select("id").as[Long].collect().toSet ==
+      taxo.getLCA(Nil).toSet)
+    assert(GraphOps.gcd(nodesDF, edgesDF, emptyQ).select("id").as[Long].collect().toSet ==
+      taxo.getGCD(Nil).toSet)
+  }
+
+  test("distributed insertion-search-space nodes equal the driver twin") {
+    for (seed <- 1 to 3; strict <- Seq(false, true)) {
+      val base = sample(seed, 24)
+      if (base.nonEmpty) {
+        val df = base.toDF("id")
+        val got = GraphOps.insertionSearchSpaceNodes(nodesDF, edgesDF, df,
+          cropTop = true, strict = strict).as[Long].collect().toSet
+        val want = taxo.createInsertionSearchSpace(base, cropTop = true,
+          strict = strict).nodes.toSet
+        assert(got == want, s"seed=$seed strict=$strict")
+      }
+    }
+    // cropTop=false expands from the roots
+    val base = sample(1, 24)
+    val got = GraphOps.insertionSearchSpaceNodes(nodesDF, edgesDF, base.toDF("id"),
+      cropTop = false, strict = true).as[Long].collect().toSet
+    val want = taxo.createInsertionSearchSpace(base, cropTop = false,
+      strict = true).nodes.toSet
+    assert(got == want)
+  }
+}

@@ -54,6 +54,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.toLowerCase.split("exchange").length <= 3, s"unexpected shuffles:\n$p")
   }
 
+  test("simhash is one pass: no shuffle, no explode in the plan") {
+    val p = plan("q15_simhash")
+    assert(!p.contains("Generate"), s"simhash plan still explodes:\n$p")
+    // the only exchange allowed is the final orderBy's range partitioning
+    // (each operator appears twice in formatted output: tree + detail)
+    assert("Exchange".r.findAllIn(p).length <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("minhash signatures are a pure projection: no shuffle, no aggregate") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ops.TextOps.minhashSignatures(docs, "text", 3, 32)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"signature projection shuffles:\n$p")
+    assert(!p.contains("HashAggregate"), s"signature projection aggregates:\n$p")
+    assert(!p.contains("Generate"), s"signature projection explodes:\n$p")
+  }
+
   test("mention extraction reads only the text column") {
     val df = SparkEntry.queries("q26_mentions")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -15,6 +15,10 @@ object SparkSpecBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // tests drive GraphOps fixpoints from driver-built DataFrames; see
+      // the session note in GraphOps scaladoc (Union.rewriteConstraints
+      // fails on checkpointed plans with stale origin-constraint attrs)
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
