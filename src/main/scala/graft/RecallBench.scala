@@ -43,11 +43,10 @@ object RecallBench {
       SimOps.cosineTopK(emb, q, k).select("query_id", "neighbor_id")
         .as[(Long, Long)].collect().toSet)
 
-    for ((bits, bands) <- Seq((8, 8), (16, 16), (16, 8), (32, 16), (32, 8), (64, 16))) {
+    def sweep(label: String, fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val recalls = batches.zip(exact).map { case (q, ex) =>
-        val got = SimOps.lshCosineTopK(emb, q, k, bits, bands)
-          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        val got = fn(q).select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
         if (ex.isEmpty) 1.0 else ex.intersect(got).size.toDouble / ex.size
       }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -55,9 +54,15 @@ object RecallBench {
       val sd = math.sqrt(recalls.map(r => (r - mean) * (r - mean)).sum /
         math.max(1, recalls.size - 1))
       val ci = 1.96 * sd / math.sqrt(recalls.size)
-      println(f"""{"bits":$bits,"bands":$bands,"k":$k,"n":$n,"repeats":$repeats,""" +
+      println(f"""{$label,"k":$k,"n":$n,"repeats":$repeats,""" +
         f""""recall_mean":$mean%.4f,"recall_ci95":$ci%.4f,"sec":$sec%.2f}""")
     }
+    for ((bits, bands) <- Seq((8, 8), (16, 16), (16, 8), (32, 16), (32, 8), (64, 16)))
+      sweep(s""""kind":"lsh","bits":$bits,"bands":$bands""",
+        q => SimOps.lshCosineTopK(emb, q, k, bits, bands))
+    for (nProbe <- Seq(1, 2, 4, 8))
+      sweep(s""""kind":"ivf","nlist":32,"nprobe":$nProbe""",
+        q => SimOps.ivfTopK(emb, q, k, nlist = 32, nProbe = nProbe))
     spark.stop()
   }
 }

@@ -193,6 +193,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+    "q32_ann_ivf" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+      SimOps.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = AnnK,
+          nlist = IvfNlist, nProbe = IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
     // --- distributed taxonomy graph ops ----------------------------------
     "q19_taxo_ancestors" -> ((s, d) => TaxoQueries.ancestors(s, d)),
     "q20_taxo_leaves" -> ((s, d) => TaxoQueries.leafNodes(s, d)),
@@ -358,6 +365,7 @@ object SparkEntry {
     "q14_minhash_pairs" -> jaccardOracle,
     "q15_simhash" -> simhashOracle,
     "q18_ann_lsh" -> annLshOracle,
+    "q32_ann_ivf" -> annIvfOracle,
     // q24/q25/q30 are not SQL-expressible (multi-round pipeline, custom
     // extraction expression, stub media codec); they are gated against
     // committed expected-output fixtures generated at sf0.01 (the driver's
@@ -504,6 +512,50 @@ object SparkEntry {
   val AnnBits = 16
   val AnnBands = 8
   val AnnK = 5
+  /** q32 IVF parameters (same sharing contract as AnnBits/AnnBands). */
+  val IvfNlist = 32
+  val IvfNprobe = 4
+
+  /** q32 oracle: the IVF path rebuilt in SQL — deterministic centroid
+    * sample, per-vector nearest-cell assignment (cosine rounded 6 dp, ties
+    * by centroid id — the same rule NearestCentroidsExpr applies), probe
+    * the nProbe nearest cells, exact rerank. */
+  private def annIvfOracle: String =
+    s"""WITH nc AS (
+       |  -- integer division (//): DuckDB's / is float division and CAST
+       |  -- rounds, which would disagree with Spark's n / nlist truncation
+       |  SELECT GREATEST(1, COUNT(*) // $IvfNlist) AS step FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+       |  FROM embeddings, nc WHERE vec_id % step = 0 ORDER BY vec_id LIMIT $IvfNlist),
+       |assign AS (
+       |  SELECT e.vec_id AS neighbor_id,
+       |    (SELECT cid FROM cents
+       |     ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cemb), 6) DESC,
+       |              cid ASC LIMIT 1) AS cell
+       |  FROM embeddings e),
+       |proberank AS (
+       |  SELECT q.vec_id AS query_id, c.cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cemb), 6) DESC,
+       |               c.cid ASC) AS rn
+       |  FROM embeddings q, cents c WHERE q.vec_id < 20),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id
+       |  FROM proberank p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.rn <= $IvfNprobe AND p.query_id <> a.neighbor_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+       |            JOIN embeddings ce ON cand.neighbor_id = ce.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
   /** ±1 hyperplane VALUES literal — the exact sign matrix RhpSigExpr uses
     * (VectorExprs.rhpSign, single source of truth), so the DuckDB oracle

@@ -151,12 +151,26 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     sup
   }
 
+  /** C8 rag-eligibility cache (category_move.py:76-85): the level/ignore-
+    * filtered candidate set, cached ONCE per run — valid only when
+    * do_update=False (the reference populates it at run start iff
+    * method=='rag' and not do_update, line 398-399: moves change levels,
+    * invalidating the set). */
+  private var ragEligibleCache: Option[Set[Long]] = None
+
+  def cacheRagEligibility(): Unit =
+    ragEligibleCache = Some(working.filterByLevel(
+      config.candidateTopLevel, config.candidateBottomLevel)
+      .filterNot(config.retIgnore.contains).toSet)
+
   /** C2 rag (category_move.py:242-270): kNN around the old parents within
-    * the level/ignore-filtered candidate set. */
+    * the level/ignore-filtered candidate set (cached when do_update=False,
+    * recomputed per target otherwise — reference line 253-263). */
   def rag(query: String, oldParents: Seq[Long]): Seq[Long] = {
     require(oldParents.nonEmpty, "Either old parents must be provided or do_generate must be True")
-    val subset = working.filterByLevel(config.candidateTopLevel, config.candidateBottomLevel)
-      .filterNot(config.retIgnore.contains).toSet
+    val subset = ragEligibleCache.getOrElse(
+      working.filterByLevel(config.candidateTopLevel, config.candidateBottomLevel)
+        .filterNot(config.retIgnore.contains).toSet)
     val out = mutable.LinkedHashSet.empty[Long]
     for (p <- oldParents) {
       val q = entityToUnitVector(Left(p)).map(_.toFloat)
@@ -210,10 +224,14 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
   def run(data: MutableTaxo): MutableTaxo = {
     working = data.deepCopy()
     logs.clear(); kept = 0; moved = 0
+    ragEligibleCache = None
     if (config.method == "rag" || config.selectionFeatures.contains("siblings")) {
       val ns = working.nodes.toArray
       index = new VectorIndex(ns, models.emb.embed(ns.map(working.getLabel).toSeq))
     }
+    // category_move.py:398-399: the eligibility set is immutable iff the
+    // taxonomy is (do_update=False) -- cache it once for the whole run
+    if (config.method == "rag" && !config.doUpdate) cacheRagEligibility()
     val targets: Seq[Long] = config.mode match {
       case "auto" =>
         val movable = working.bottomNodes.filterNot(config.ignore.contains)

@@ -42,6 +42,12 @@ object VectorExprs {
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     toColumn(MinHashSigExpr(toExpr(text), k, numHashes))
 
+  /** nProbe nearest centroid ids (compiled; cosine rounded 6 dp, ties by
+    * centroid id). */
+  def nearestCentroids(v: Column, ids: Seq[Long], cents: Seq[Seq[Double]],
+                       nProbe: Int): Column =
+    toColumn(NearestCentroidsExpr(toExpr(v), ids, cents, nProbe))
+
   /** Random-hyperplane LSH signature packed into a Long (bits ≤ 64): bit b
     * is the sign of dot(v - center, h_b) for the deterministic FNV-derived
     * ±1 hyperplane h_b. `center` (usually the per-dimension corpus mean,
@@ -198,6 +204,51 @@ case class WordShingleHashesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpr =
     copy(child = newChild)
   override def prettyName: String = "word_shingle_hashes"
+}
+
+/** The nProbe nearest centroids of a vector (by cosine rounded to 6 dp,
+  * ties broken by centroid id — the rounding keeps the argmax reproducible
+  * in the DuckDB oracle) as an array of centroid ids. Centroid matrix is
+  * embedded in the expression (collected once on the driver — IVF lists
+  * are by construction far smaller than the corpus). */
+case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
+                                cents: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ids.nonEmpty && ids.length == cents.length && nProbe >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val cm: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val cnorm: Array[Double] =
+    cm.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = VectorExprs.readAsDouble(v, et, i); i += 1 }
+    var vn = 0.0
+    i = 0
+    while (i < n) { vn += x(i) * x(i); i += 1 }
+    vn = math.sqrt(vn)
+    val scored = Array.tabulate(cm.length) { c =>
+      val cv = cm(c)
+      val m = math.min(n, cv.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { d += x(j) * cv(j); j += 1 }
+      val cos = d / (vn * cnorm(c))
+      (BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, ids(c))
+    }
+    val top = scored.sortBy { case (cos, id) => (-cos, id) }.take(nProbe).map(_._2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroids"
 }
 
 /** MinHash signature of a document in ONE compiled pass — a projection,

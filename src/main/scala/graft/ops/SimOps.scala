@@ -110,6 +110,42 @@ object SimOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF-style approximate top-k — the second scale path beside LSH:
+    * centroids are a deterministic corpus sample (every ⌊n/nlist⌋-th
+    * vec_id, lowest nlist ids — reproducible by the SQL oracle), each
+    * corpus vector is assigned to its nearest centroid (one compiled
+    * projection, no shuffle), queries probe their nProbe nearest cells and
+    * exact-rerank inside them. At 10^12 rows the cell join replaces the
+    * corpus×query product and the assignment column doubles as the
+    * bucketed-layout key a real deployment would partition by. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 32, nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(1L, n / nlist)
+    val centRows = corpus.filter(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+    val ids = centRows.map(_.getLong(0)).toSeq
+    val cents = centRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toSeq).toSeq
+    def nearest(v: Column, p: Int) =
+      graft.functions.VectorExprs.nearestCentroids(v, ids, cents, p)
+    val assign = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), element_at(nearest(col("embedding"), 1), 1).as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), explode(nearest(col("embedding"), nProbe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
     * LSH blocking + exact verification. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,

@@ -363,6 +363,15 @@ object KgPipeline {
     val allLineage = mutable.ArrayBuffer.empty[LineageRow]
     val allDeltas = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
     val sameAs = mutable.ArrayBuffer.empty[(String, String, Int)]
+    if (resumeRound > 0) {
+      // restore per-round provenance (edge deltas + sameAs) so a resumed
+      // run emits identical src_round lineage to an uninterrupted one
+      val rd = roundDir(ckptDir, resumeRound)
+      allDeltas ++= spark.read.parquet(s"$rd/deltas")
+        .as[(Long, Long, String, Int)].collect().sortBy(d => (d._4, d._1, d._2))
+      sameAs ++= spark.read.parquet(s"$rd/sameas")
+        .as[(String, String, Int)].collect().sortBy(s => (s._3, s._1, s._2))
+    }
 
     val mentions = (if (htmlInput) extractMentionsFromHtml(corpus, textCol, cfg.minMentionFreq)
       else extractMentions(corpus, textCol, cfg.minMentionFreq))
@@ -432,6 +441,12 @@ object KgPipeline {
         result.release()
         scoredStore = spark.read.parquet(s"$rd/scored_pairs")
         result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
+        // cumulative provenance (small — bounded by inserted edges): lets a
+        // resumed run reconstruct src_round exactly
+        allDeltas.toSeq.toDF("src", "dst", "label", "round")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/deltas")
+        sameAs.toSeq.toDF("a", "b", "round")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/sameas")
         Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
       }
       // crash injection for the kill+resume drive: hard-halt (no cleanup,

@@ -69,6 +69,22 @@ class OpsSpec extends SparkSpecBase {
     assert(shared.size >= (bf.length * 7) / 10, s"recall ${shared.size}/${bf.length}")
   }
 
+  test("ivf top-k: verified cosines exact, recall high, subset semantics") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(j => ((graft.lexical.Tokenset.fnv1a64(s"$i:$j") % 1000L) / 1000.0f)))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 5)
+    val bf = SimOps.cosineTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val ivf = SimOps.ivfTopK(vecs, q, 5, nlist = 8, nProbe = 3)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    for ((qq, n, c) <- ivf; exact <- bfCos.get((qq, n))) assert(c == exact)
+    val shared = ivf.map(r => (r._1, r._2)).toSet.intersect(bf.map(r => (r._1, r._2)).toSet)
+    assert(shared.size >= (bf.length * 6) / 10, s"recall ${shared.size}/${bf.length}")
+    assert(ivf.groupBy(_._1).values.forall(_.length <= 5))
+  }
+
   test("connected components: chains, stars, isolated nodes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 10L)).toDF("a", "b")
     val nodes = (1L to 4L).union(Seq(10L, 11L, 12L, 99L)).toDF("id")

@@ -61,6 +61,14 @@ class PipelineSpec extends SparkSpecBase {
     val rResumed = KgPipeline.run(spark, corpus(300, 4), "text",
       KgPipeline.domainModels(), cfg(2), part)
     assert(tripleSet(rResumed.triples) == tripleSet(rFull.triples))
+    // full-row comparison INCLUDING src_round/lineage: a resumed run must
+    // carry the pre-crash rounds' provenance (round-2 regression: allDeltas
+    // wasn't checkpointed, so resumed triples reported src_round = 0)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "src_round", "lineage")
+        .as[(String, String, String, Int, String)].collect().sortBy(r => r.toString)
+    assert(rows(rResumed.triples).toSeq == rows(rFull.triples).toSeq)
     assert(rResumed.roundsRun == 1) // only round 2 re-ran
   }
 
