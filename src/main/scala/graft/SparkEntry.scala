@@ -37,6 +37,21 @@ object SparkEntry {
     q31Sentinel.get()
   }
 
+  /** q33 staging: events + a far-future sentinel row (user_id = -1) that
+    * advances the watermark so every open session times out and flushes —
+    * written once per (JVM, sfDir). */
+  private val q33Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q33EventsDir(s: SparkSession, sfDir: String): String =
+    q33Dirs.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("q33events").toString
+      val events = s.read.parquet(t(sfDir, "events"))
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val sentinel = events.limit(1).select(lit(-1L).as("event_id"),
+        (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
+      events.union(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** The file stream source needs a directory; the testdata tables are
     * single parquet files. Expose each as a directory via a memoized
     * symlink — zero copy, no staging rewrite of the corpus. */
@@ -263,6 +278,20 @@ object SparkEntry {
         .filter(col("freq") >= 3)
         .select(col("mention"), col("freq"))
         .orderBy("mention")
+    }),
+    // stateful custom-state streaming (flatMapGroupsWithState +
+    // EventTimeTimeout) under the SAME oracle as the batch q07
+    "q33_streaming_sessions" -> ((s, d) => {
+      val sink = s"q33_sessions_${System.nanoTime()}"
+      val dir = q33EventsDir(s, d)
+      val q = graft.streaming.StreamingOps.streamingSessions(
+        s, dir, s.read.parquet(dir).schema, sink)
+      q.awaitTermination(300000)
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id").cast("int").as("user_id"), col("session_seq"),
+          col("n_events"), col("session_start"), col("session_end"))
+        .orderBy("user_id", "session_seq")
     })
   )
 
@@ -303,20 +332,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_m,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "q07_sessions" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), sess AS (
-        |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM marked)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end
-        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q07_sessions" -> oracleSqlQ07,
     "q08_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(list_filter(regexp_split_to_array(lower(text),'\s+'), x -> x<>'')) AS BIGINT) AS n_words,
@@ -474,6 +490,7 @@ object SparkEntry {
         |WHERE NOT list_contains(sw, split_part(mention, ' ', 1))
         |  AND NOT list_contains(sw, split_part(mention, ' ', 2))
         |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin,
+    "q33_streaming_sessions" -> oracleSqlQ07,
     "q19_taxo_ancestors" -> TaxoQueries.ancestorsSql,
     "q20_taxo_leaves" -> TaxoQueries.leavesSql,
     "q21_taxo_depths" -> TaxoQueries.depthsSql,
@@ -505,6 +522,23 @@ object SparkEntry {
   private def fixtureOracle(name: String, order: Seq[String]): String =
     s"""SELECT * FROM read_parquet('/root/repo/src/test/resources/fixtures/$name.parquet')
        |ORDER BY ${order.mkString(", ")}""".stripMargin
+
+  /** Gap-sessionization oracle — shared by the batch q07 and its stateful
+    * streaming twin q33 (same rows by construction). */
+  private val oracleSqlQ07: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM marked)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
   /** q18 LSH parameters — shared by the Spark query, the DuckDB oracle
     * replica, and graft.RecallBench (whose sweep justifies the choice;

@@ -60,6 +60,84 @@ object StreamingOps {
       .start()
   }
 
+  /** Event for the stateful sessionizer. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  /** Open-session state (event-time micros). */
+  case class SessState(start: Long, end: Long, n: Long, seq: Long)
+  case class SessOut(user_id: Long, session_seq: Long, n_events: Long,
+                     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def toTs(micros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(micros / 1000L)
+    t.setNanos(((micros % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom-state sessionization over `flatMapGroupsWithState` — the
+    * unbounded-stream twin of EventOps.sessionize (same gap rule: a new
+    * session when > gap since the user's previous event; same (ts,
+    * event_id) ordering; same 1-based per-user numbering). Sessions are
+    * emitted when closed by a newer event or by the event-time timeout
+    * once the watermark passes session_end + gap — state is bounded by
+    * the number of concurrently-open sessions, never by history. */
+  def sessionFn(gapMicros: Long)(user: Long, rows: Iterator[SessEvent],
+                                 state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
+    def emit(s: SessState) = SessOut(user, s.seq, s.n, toTs(s.start), toTs(s.end))
+    if (!rows.hasNext && state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(emit(s))
+    } else {
+      val evs = rows.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      var cur = state.getOption
+      for (e <- evs) {
+        val t = toMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.end <= gapMicros =>
+            cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+          case Some(s) =>
+            out += emit(s)
+            cur = Some(SessState(t, t, 1L, s.seq + 1))
+          case None =>
+            cur = Some(SessState(t, t, 1L, 1L))
+        }
+      }
+      for (s <- cur) {
+        state.update(s)
+        state.setTimeoutTimestamp((s.end + gapMicros) / 1000L + 1L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming gap-sessionization: watermarked event stream →
+    * groupByKey(user) → flatMapGroupsWithState(EventTimeTimeout). A
+    * sentinel user (user_id < 0) with a far-future timestamp flushes the
+    * watermark on finite inputs; its own session is filtered by readers. */
+  def streamingSessions(spark: SparkSession, inputDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        queryName: String = "sessions_stream",
+                        gapMinutes: Int = 30): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream.schema(schema).parquet(inputDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"))
+      .withWatermark("ts", "1 minute")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFn(gapMinutes * 60000000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming hourly event aggregation with a watermark (append mode). */
   def streamingEventAgg(spark: SparkSession, inputDir: String,
                         schema: org.apache.spark.sql.types.StructType,

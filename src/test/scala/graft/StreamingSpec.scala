@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful flatMapGroupsWithState sessionization equals the batch twin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_sess").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    // sentinel: far-future event advances the watermark so every open
+    // session times out and flushes in the final no-data batch
+    val sentinel = events.limit(1).select(
+      lit(-1L).as("event_id"),
+      (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"),
+      lit(-1L).as("user_id"))
+    events.union(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.streamingSessions(spark, dir,
+      spark.read.parquet(dir).schema, "sess_stream_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_stream_test")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_seq", "n_events", "session_start", "session_end")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    val batch = graft.ops.EventOps.sessionize(events)
+      .select(col("user_id").cast("long"), col("session_seq").cast("long"),
+        col("n_events").cast("long"), col("session_start"), col("session_end"))
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly event agg produces windows under watermark") {
     // readStream needs a directory, not a single parquet file
     val dir = Files.createTempDirectory("stream_ev").toString
