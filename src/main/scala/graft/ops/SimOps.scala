@@ -76,10 +76,15 @@ object SimOps {
                      center: Seq[Double]): DataFrame = {
     val rows = bits / bands
     val mask = if (rows == 64) -1L else (1L << rows) - 1
+    // (band, row-bits) packed into ONE long join key: band in the high
+    // bits, bucket in the low — injective, so the candidate set is
+    // identical to a (band, bucket) two-column join at less shuffle volume
     df.select(col("vec_id"), rhpSignature(col("embedding"), bits, center = center).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bucket", expr(s"shiftrightunsigned(sig, band * $rows)").bitwiseAND(lit(mask)))
-      .select(col("vec_id"), col("band"), col("bucket"))
+      .withColumn("bucket",
+        (col("band").cast("long") * lit(1L << 48)) +
+          expr(s"shiftrightunsigned(sig, band * $rows)").bitwiseAND(lit(mask)))
+      .select(col("vec_id"), col("bucket"))
   }
 
   /** LSH-bucketed approximate top-k: block by hyperplane-signature bands,
@@ -94,7 +99,7 @@ object SimOps {
     val mu = dimMeans(corpus)
     val cand = banded(corpus, bits, bands, mu).as("c")
       .join(broadcast(banded(queries, bits, bands, mu)).as("q"),
-        col("c.band") === col("q.band") && col("c.bucket") === col("q.bucket") &&
+        col("c.bucket") === col("q.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
@@ -153,7 +158,7 @@ object SimOps {
     require(bits % bands == 0)
     val b = banded(df, bits, bands, dimMeans(df))
     val cand = b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct() // dedupe on ids before re-joining vectors (cheap shuffle keys)

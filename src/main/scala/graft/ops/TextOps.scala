@@ -167,12 +167,17 @@ object TextOps {
                    threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // the band index is mixed INTO the bucket hash: a single 8-byte join
+    // key instead of (band, bucket) — less shuffle volume, single-column
+    // probe (cross-band hash collisions are 2^-64-scale noise and the
+    // verification is exact regardless)
     val banded = minhashSignatures(df, textCol, k, numHashes)
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bucket", xxhash64(slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select(col("doc_id"), col("band"), col("bucket"))
+      .withColumn("bucket",
+        xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .select(col("doc_id"), col("bucket"))
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
