@@ -172,20 +172,32 @@ object GraphOps {
     * the reduced base (or the roots when cropTop=false) without expanding
     * below a base node, excluding strict base-descendants, and — when
     * strict — keeping only nodes that subsume at least one base node.
-    * Returns the node ids of the sub-taxonomy (the per-candidate traversal
-    * itself stays executor-local against the broadcast snapshot — this is
-    * the contingency for taxonomies beyond broadcast size, SURVEY.md §2.2;
-    * forced-edge-label LCA unions are a label-filtered closure variant not
-    * included here). */
+    * `forceLabels` mirrors subgraph_force (taxonomy.py:424-429): the top
+    * set is unioned with the base's LCAs computed over label-filtered edge
+    * subsets (edges must then carry a `label` column), reduced to the most
+    * general. Returns the node ids of the sub-taxonomy (the per-candidate
+    * traversal itself stays executor-local against the broadcast snapshot —
+    * this is the contingency for taxonomies beyond broadcast size,
+    * SURVEY.md §2.2). */
   def insertionSearchSpaceNodes(nodes: DataFrame, edges: DataFrame, base: DataFrame,
                                 cropTop: Boolean = true, strict: Boolean = false,
+                                forceLabels: Seq[Set[String]] = Nil,
                                 maxIter: Int = 64): DataFrame = {
     val closure = ancestorClosure(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val baseR = reduceSubset(edges, base, reverse = false, closure0 = Some(closure))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val top =
-      if (cropTop) lca(nodes, edges, baseR, closure0 = Some(closure))
-      else roots(nodes, edges)
+      if (!cropTop) roots(nodes, edges)
+      else if (forceLabels.nonEmpty) {
+        val plain = lca(nodes, edges, baseR, closure0 = Some(closure))
+        val forced = forceLabels.map { ls =>
+          val fe = edges.filter(col("label").isin(ls.toSeq: _*))
+          lca(nodes, fe, baseR)
+        }
+        val union = forced.foldLeft(plain.select(col("id")))(
+          (acc, f) => acc.union(f.select(col("id")))).distinct()
+        reduceSubset(edges, union, reverse = true, closure0 = Some(closure))
+      } else lca(nodes, edges, baseR, closure0 = Some(closure))
     val baseDesc = closure
       .join(baseR.select(col("id").as("anc")), Seq("anc"), "left_semi")
       .select(col("node").as("id")).distinct()

@@ -75,4 +75,23 @@ class GraphTwinSpec extends SparkSpecBase {
       strict = true).nodes.toSet
     assert(got == want)
   }
+
+  test("distributed insertion-search-space honors forced edge-label LCA unions") {
+    // relabel a third of the edges so the label-filtered LCAs differ
+    val relabeled = MutableTaxo(
+      taxo.nodes.toSeq.map(n => (n, taxo.getLabel(n))),
+      taxo.edges.map { case (u, v, l) => (u, v, if (u % 3 == 0) "auto" else l) })
+    val edgesL = relabeled.edges.toSeq.map { case (u, v, l) => (u, v, l) }
+      .toDF("src", "dst", "label")
+    for (seed <- 1 to 2; force <- Seq(Seq(Set("original")), Seq(Set("auto", "original")))) {
+      val base = sample(seed, 24)
+      if (base.nonEmpty) {
+        val got = GraphOps.insertionSearchSpaceNodes(nodesDF, edgesL, base.toDF("id"),
+          cropTop = true, strict = false, forceLabels = force).as[Long].collect().toSet
+        val want = relabeled.createInsertionSearchSpace(base, cropTop = true,
+          forceLabels = force, strict = false).nodes.toSet
+        assert(got == want, s"seed=$seed force=$force")
+      }
+    }
+  }
 }
