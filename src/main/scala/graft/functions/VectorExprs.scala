@@ -329,7 +329,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString.toLowerCase(java.util.Locale.ROOT)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHashExpr.digests.get()
     val votes = new Array[Int](60)
     val toks = text.split("\\s+")
     var t = 0
@@ -360,6 +360,14 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
   override def prettyName: String = "simhash60"
+}
+
+object SimHashExpr {
+  /** One MD5 instance per executor thread — `getInstance` per row is an
+    * allocation the 10^12-row plan doesn't need; expression instances may
+    * be shared across tasks, so a plain lazy val would race. */
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Packed random-hyperplane signature: deterministic ±1 hyperplanes derived
