@@ -41,6 +41,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(res.lineage.count() > 0)
   }
 
+  test("prior-score slice is bounded to candidate-relevant pairs (M4)") {
+    import spark.implicits._
+    val store = Seq(("a", "x", 0.9), ("b", "y", 0.1), ("z", "a", 0.5), ("q", "r", 0.2))
+      .toDF("subLabel", "supLabel", "p")
+    val cands = Seq(("a", 3L)).toDF("mention", "freq")
+    val slice = KgPipeline.priorScoreSlice(cands, store)
+      .as[(String, String, Double)].collect().toSet
+    // only pairs touching candidate "a" on either side — the history rows
+    // for b/q never reach the driver or the broadcast
+    assert(slice == Set(("a", "x", 0.9), ("z", "a", 0.5)))
+  }
+
   test("pipeline output is identical across parallelism levels") {
     val c1 = Files.createTempDirectory("kgp1").toString
     val c2 = Files.createTempDirectory("kgp2").toString
