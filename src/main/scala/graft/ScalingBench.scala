@@ -25,19 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object ScalingBench {
 
-  private def session(cores: Int): SparkSession = SparkSession.builder()
-    .master(s"local[$cores]")
-    .appName(s"graft-scaling-$cores")
-    .config("spark.sql.shuffle.partitions", cores.toString)
-    .config("spark.sql.adaptive.enabled", "true")
-    // the corpus is many ~1MB parquet files: with the default 128MB bin +
-    // 4MB open-cost the scan collapses to ~8 partitions and caps effective
-    // parallelism — size splits so the scan fans out to every thread
-    .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
-    .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** smallFiles: the sf testdata / dedup corpora are a handful of ~1-4MB
+    * parquet files — without small scan bins the whole scan collapses to a
+    * few partitions and caps parallelism. The multi-GB pipeline corpus is
+    * the opposite: 4MB bins explode it into thousands of tasks and driver
+    * scheduling becomes a serial term that grows with input (measured:
+    * ~16 s of the 4-core/16-core gap at 32M pages) — it gets default
+    * sizing. */
+  private def session(cores: Int, smallFiles: Boolean): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val b2 = if (smallFiles)
+      b.config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+        .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+    else b
+    b2.getOrCreate()
+  }
 
   def main(args: Array[String]): Unit = {
     val coreLevels = (if (args.nonEmpty) args(0) else "32,8").split(",").map(_.trim.toInt).toSeq
@@ -45,10 +53,13 @@ object ScalingBench {
     val rounds = if (args.length > 2) args(2).toInt else 1
     val job = if (args.length > 3) args(3) else "pipeline"
 
-    val corpusPath = s"/tmp/kgbench_corpus_$pages"
-    val corpusParts = math.max(32, (pages / 2000L).toInt)
+    // ~40k pages (~14 MB) per file: file COUNT is a serial planning cost
+    // (driver-side listing + footer reads — measured ~16 s of the wall at
+    // 16k files / 32M pages, flattening the 4-vs-16-core ratio)
+    val corpusParts = math.max(32, (pages / 40000L).toInt)
+    val corpusPath = s"/tmp/kgbench_corpus_${pages}_p$corpusParts"
     locally {
-      val s = session(32)
+      val s = session(32, smallFiles = job != "pipeline")
       s.sparkContext.setLogLevel("WARN")
       if (job == "pipeline" &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusPath/_SUCCESS")))
@@ -59,7 +70,7 @@ object ScalingBench {
     }
 
     val results = coreLevels.map { cores =>
-      val s = session(cores)
+      val s = session(cores, smallFiles = job != "pipeline")
       s.sparkContext.setLogLevel("WARN")
       val t0 = System.nanoTime()
       val nTriples = if (job == "pipeline") runOnce(s, corpusPath, rounds) else runDedup(s, pages)

