@@ -108,21 +108,16 @@ object Cli {
 
   /** Validation body (testable without sys.exit): DAG + labels + orphans as
     * Catalyst queries over (nodes, edges) — scales past driver-sized
-    * taxonomies. Mirrors the reference checks (main.py:76-96). */
+    * taxonomies. Mirrors the reference checks and their semantics exactly
+    * (main.py:81-98): messages accumulate in an error list in reference
+    * order (cycles, labels, orphans); ANY entry — including the orphan
+    * WARN — suppresses the OK line and exits nonzero. */
   def runValidate(nodes: org.apache.spark.sql.DataFrame,
                   edges: org.apache.spark.sql.DataFrame,
                   out: String => Unit): Boolean = {
-    var ok = true
-    // 1. labels present (FAIL, main.py:82-84)
-    val unlabeled = nodes.filter(col("label").isNull || col("label") === "").count()
-    if (unlabeled > 0) { ok = false; out(s"FAIL: $unlabeled node(s) have no label") }
-    // 2. orphans: nodes with no edges at all, root exempt (WARN, main.py:86-88)
-    val touched = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-    val orphans = nodes.join(touched, Seq("id"), "left_anti")
-      .filter(col("id") =!= 0L).count()
-    if (orphans > 0) out(s"WARN: $orphans orphan node(s) found.")
-    // 3. acyclicity: iterative leaf-stripping; leftover edges => cycle
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // 1. acyclicity (main.py:82-83): iterative leaf-stripping; leftover
+    // edges => cyclic core
     var remaining = edges.select("src", "dst").distinct().localCheckpoint(true)
     var n = remaining.count()
     var changed = true
@@ -135,9 +130,19 @@ object Cli {
       remaining = next
       n = m
     }
-    if (n > 0) { ok = false; out(s"FAIL: Taxonomy contains cycles. ($n edges in cyclic core)") }
-    out(if (ok) "OK: Taxonomy is valid." else "validation failed")
-    ok
+    if (n > 0) errors += s"FAIL: Taxonomy contains cycles. ($n edges in cyclic core)"
+    // 2. labels present (main.py:85-87)
+    val unlabeled = nodes.filter(col("label").isNull || col("label") === "").count()
+    if (unlabeled > 0) errors += s"FAIL: $unlabeled node(s) have no label"
+    // 3. orphans: nodes with no edges at all, root exempt (main.py:89-91);
+    // a WARN, but the reference still puts it in `errors` and exits 1
+    val touched = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val orphans = nodes.join(touched, Seq("id"), "left_anti")
+      .filter(col("id") =!= 0L).count()
+    if (orphans > 0) errors += s"WARN: $orphans orphan node(s) found."
+    if (errors.nonEmpty) { errors.foreach(out); false }
+    else { out("OK: Taxonomy is valid."); true }
   }
 
   private def withSpark[A](f: SparkSession => A): A = {

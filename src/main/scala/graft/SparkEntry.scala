@@ -46,7 +46,10 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("q33events").toString
       val events = s.read.parquet(t(sfDir, "events"))
         .select(col("event_id"), col("ts"), col("user_id"))
-      val sentinel = events.limit(1).select(lit(-1L).as("event_id"),
+      // sentinel ts derives from max(ts): provably past every session's
+      // end + gap regardless of the table's time span (limit(1) could pick
+      // an early row and silently drop still-open sessions)
+      val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
         (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
       events.union(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
       dir

@@ -134,6 +134,7 @@ object MentionScanner {
     private var vals = new Array[Long](cap)
     private var used = new Array[Boolean](cap)
     private var n = 0
+    def size: Int = n
     def add(key: Long, inc: Long): Unit = {
       if (n * 4 >= cap * 3) resize()
       var slot = (scala.util.hashing.byteswap64(key) & (cap - 1)).toInt

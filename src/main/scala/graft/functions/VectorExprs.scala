@@ -240,7 +240,13 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
       var j = 0
       while (j < m) { d += x(j) * cv(j); j += 1 }
       val cos = d / (vn * cnorm(c))
-      (BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, ids(c))
+      // zero-norm input/centroid ⇒ NaN; rank it last (BigDecimal(NaN)
+      // would throw and fail the whole job, unlike the exact path which
+      // just sorts the NaN)
+      val cosr =
+        if (cos.isNaN) Double.NegativeInfinity
+        else BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cosr, ids(c))
     }
     val top = scored.sortBy { case (cos, id) => (-cos, id) }.take(nProbe).map(_._2)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(top)

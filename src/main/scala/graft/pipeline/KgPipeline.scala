@@ -117,14 +117,39 @@ object KgPipeline {
     * justified here by measurement) skips the 668M-row operator traffic;
     * only per-partition distinct mentions (bounded by vocabulary) reach
     * the final groupBy. */
-  def extractMentionsFromHtml(corpus: DataFrame, htmlCol: String, minFreq: Long): DataFrame = {
+  def extractMentionsFromHtml(corpus: DataFrame, htmlCol: String, minFreq: Long,
+                              maxStateEntries: Int = 1 << 22): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     corpus.select(col(htmlCol).cast("string")).as[String]
       .mapPartitions { it =>
-        val state = new graft.extract.MentionScanner.MentionCounts()
-        it.foreach(html => graft.extract.MentionScanner.countMentionsInto(html, state))
-        state.iterator
+        // Unlike the hash-aggregate plan this replaces, the per-partition
+        // counter can't spill — so it's capped: once a chunk's distinct
+        // bigrams exceed maxStateEntries (default 4M ≈ ~150 MB incl. the
+        // interned dict) the partial counts flush as rows and the state
+        // resets; the downstream sum-groupBy merges partials exactly.
+        // Real web text (unbounded bigram cardinality) stays memory-safe;
+        // the flush never fires on vocabulary-bounded corpora.
+        new Iterator[(String, Long)] {
+          private var inner: Iterator[(String, Long)] = Iterator.empty
+          private def refill(): Unit = {
+            val state = new graft.extract.MentionScanner.MentionCounts()
+            while (it.hasNext && state.bigrams.size < maxStateEntries) {
+              val html = it.next()
+              if (html != null && html.nonEmpty)
+                graft.extract.MentionScanner.countMentionsInto(html, state)
+            }
+            inner = state.iterator
+          }
+          def hasNext: Boolean = {
+            while (!inner.hasNext && it.hasNext) refill()
+            inner.hasNext
+          }
+          def next(): (String, Long) = {
+            if (!hasNext) throw new NoSuchElementException("empty partition iterator")
+            inner.next()
+          }
+        }
       }
       .toDF("mention", "cnt")
       .groupBy("mention").agg(sum("cnt").as("freq"))
@@ -486,9 +511,13 @@ object KgPipeline {
       taxo.succ(u)(v) = l; taxo.pred(v)(u) = l
     }
 
+    // O(1) provenance lookup; getOrElseUpdate keeps the FIRST round an
+    // edge was minted in (same as the linear find this replaces)
+    val roundOf = mutable.HashMap.empty[(Long, Long), Int]
+    for (d <- allDeltas) roundOf.getOrElseUpdate((d._1, d._2), d._4)
     val isA = taxo.edges.filter(_._3 == "new")
       .map { case (u, v, _) => (taxo.getLabel(u), "isA", taxo.getLabel(v),
-        allDeltas.find(d => d._1 == u && d._2 == v).map(_._4).getOrElse(0), "new") }
+        roundOf.getOrElse((u, v), 0), "new") }
     val same = sameAs.map { case (a, b, rr) => (a, "sameAs", b, rr, "eqv") }.toSeq
     val triples = (isA ++ same).toDF("subj", "pred", "obj", "src_round", "lineage")
     triples.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ckptDir/triples")

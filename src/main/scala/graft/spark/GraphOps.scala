@@ -183,6 +183,10 @@ object GraphOps {
                                 cropTop: Boolean = true, strict: Boolean = false,
                                 forceLabels: Seq[Set[String]] = Nil,
                                 maxIter: Int = 64): DataFrame = {
+    // empty base ⇒ the whole taxonomy (reference deepcopy(self),
+    // taxonomy.py:422-423) — without this the lca() empty-query leaf
+    // semantics would wrongly shrink the space to the leaves
+    if (base.isEmpty) return nodes.select(col("id"))
     val closure = ancestorClosure(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val baseR = reduceSubset(edges, base, reverse = false, closure0 = Some(closure))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -93,12 +93,23 @@ object TaxoJson {
     * for graphs too large to hold on the driver. Root synthesis is expressed
     * relationally: top nodes = anti-join of nodes vs edge children. */
   def loadDF(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
     val raw = spark.read.option("multiLine", true).json(path)
+    // schema inference drops `label` entirely when NO element carries it —
+    // col("e.label") would then fail analysis, so probe the struct first
+    def fieldNames(arrCol: String): Set[String] = raw.schema(arrCol).dataType match {
+      case ArrayType(s: StructType, _) => s.fieldNames.toSet
+      case _ => Set.empty
+    }
+    val nLabel = if (fieldNames("nodes").contains("label")) col("n.label")
+                 else lit(null).cast("string")
+    val eLabel = if (fieldNames("edges").contains("label")) col("e.label")
+                 else lit(null).cast("string")
     val nodes = raw.select(explode(col("nodes")).as("n"))
-      .select(col("n.id").cast("long").as("id"), col("n.label").as("label"))
+      .select(col("n.id").cast("long").as("id"), nLabel.as("label"))
     val edges = raw.select(explode(col("edges")).as("e"))
       .select(col("e.src").cast("long").as("src"), col("e.tgt").cast("long").as("dst"),
-        coalesce(col("e.label"), lit(null).cast("string")).as("label"))
+        eLabel.cast("string").as("label"))
     val tops = nodes.join(edges.select(col("src")), nodes("id") === edges("src"), "left_anti")
     val needsRoot = tops.count() != 1 || tops.agg(min("id")).head.getLong(0) != 0L
     if (!needsRoot) (nodes, edges)

@@ -65,6 +65,37 @@ class CliSpec extends SparkSpecBase {
     assert(msgs2.exists(_.startsWith("FAIL: Taxonomy contains cycles.")))
   }
 
+  test("validate treats orphan WARN as a failure (reference exit-code parity)") {
+    import spark.implicits._
+    // node 5 has no edges at all -> orphan; reference (main.py:89-96) puts
+    // the WARN in the errors list, suppresses the OK line, and exits 1
+    val nodes = Seq((0L, "Root"), (1L, "Animal"), (5L, "Loner")).toDF("id", "label")
+    val edges = Seq((1L, 0L, "original")).toDF("src", "dst", "label")
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(!Cli.runValidate(nodes, edges, msgs += _))
+    assert(msgs == Seq("WARN: 1 orphan node(s) found."))
+    // root (id 0) is exempt even with no edges
+    val justRoot = Seq((0L, "Root")).toDF("id", "label")
+    val noEdges = Seq.empty[(Long, Long, String)].toDF("src", "dst", "label")
+    val msgs2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(Cli.runValidate(justRoot, noEdges, msgs2 += _))
+    assert(msgs2 == Seq("OK: Taxonomy is valid."))
+  }
+
+  test("loadDF tolerates JSON where no node/edge carries a label key") {
+    // schema inference drops the field entirely; col("e.label") would fail
+    val p = Files.createTempFile("cli_nolabel", ".json")
+    Files.writeString(p,
+      """{"nodes": [{"id": 0, "label": "Root"}, {"id": 1, "label": "a"},
+        |           {"id": 2, "label": "b"}, {"id": 3, "label": "c"}],
+        |"edges": [{"src": 1, "tgt": 2}, {"src": 2, "tgt": 3}, {"src": 3, "tgt": 1}]}""".stripMargin)
+    val (nodes, edges) = TaxoJson.loadDF(spark, p.toString)
+    assert(edges.columns.toSeq == Seq("src", "dst", "label"))
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(!Cli.runValidate(nodes, edges, msgs += _))
+    assert(msgs.exists(_.startsWith("FAIL: Taxonomy contains cycles.")))
+  }
+
   test("validate dispatches OWL input by extension") {
     val owl =
       """<?xml version="1.0"?>

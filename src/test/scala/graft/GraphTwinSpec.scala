@@ -67,6 +67,10 @@ class GraphTwinSpec extends SparkSpecBase {
         assert(got == want, s"seed=$seed strict=$strict")
       }
     }
+    // empty base = the whole taxonomy (reference deepcopy, taxonomy.py:422)
+    val gotEmpty = GraphOps.insertionSearchSpaceNodes(nodesDF, edgesDF,
+      Seq.empty[Long].toDF("id")).as[Long].collect().toSet
+    assert(gotEmpty == taxo.nodes.toSet)
     // cropTop=false expands from the roots
     val base = sample(1, 24)
     val got = GraphOps.insertionSearchSpaceNodes(nodesDF, edgesDF, base.toDF("id"),

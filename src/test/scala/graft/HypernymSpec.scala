@@ -48,6 +48,25 @@ class HypernymSpec extends AnyFunSuite {
     assert(Tokenset.keywordString(p, "animal poodle accessories") == "poodle, accessory")
   }
 
+  test("commonParent accumulates the most general related tokens (L5)") {
+    // poodle vs cat: related through animal? hypernym(poodle, cat)=false both
+    // ways, so nothing accumulates; dog vs poodle: dog is the hyper
+    assert(Tokenset.commonParent(p, "poodle", "cat").isEmpty)
+    assert(Tokenset.commonParent(p, "dog food", "poodle food").map(_._1) ==
+      Seq("dog", "food"))
+    // order preserved, duplicates dropped (listadd semantics)
+    assert(Tokenset.commonParent(p, "dog dog food", "poodle food").map(_._1) ==
+      Seq("dog", "food"))
+    // symmetric containment picks the more general side from either set
+    assert(Tokenset.commonParent(p, "poodle", "dog").map(_._1) == Seq("dog"))
+  }
+
+  test("toDisplayString renders 'None' for empty and comma-joins words (L5)") {
+    assert(Tokenset.toDisplayString(Nil) == "None")
+    assert(Tokenset.toDisplayString(Seq(("dog", ""), ("food", ""))) == "dog, food")
+    assert(Tokenset.toDisplayString(Seq(("dog", ""))) == "dog")
+  }
+
   test("hyper/hypo pick the more general/specific token") {
     val d = Some(("dog", ""))
     val po = Some(("poodle", ""))
