@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** The distributed extract → link → insert KG-construction pipeline
   * (SURVEY.md §7.1): re-expresses ICON's retrieve-rank-insert loop over a
@@ -48,7 +49,11 @@ object KgPipeline {
       maxCandidatesPerRound: Int = 500,
       minMentionFreq: Long = 2L,
       icon: IconConfig = IconConfig(mode = "manual", inputConcepts = Seq("_")),
-      cosineMergeThreshold: Double = 0.98) extends Serializable
+      cosineMergeThreshold: Double = 0.98,
+      // decide-stage seed retrieval switches from exact VectorIndex search
+      // (reference semantics, vector_index.py exhaustive=True) to banded
+      // RHP-LSH (graft.retrieve.BandedIndex) above this snapshot size
+      annNodeThreshold: Int = 50000) extends Serializable
 
   /** OLAP-domain seed taxonomy matching the synthetic corpus vocabulary. */
   def seedTaxo(): MutableTaxo = {
@@ -163,19 +168,21 @@ object KgPipeline {
                         rowsIn: Long, rowsOut: Long, scoredPairs: Long, wallMs: Long)
   case class ScoredPair(subLabel: String, supLabel: String, p: Double)
 
-  /** `scored` is a DataFrame (subLabel, supLabel, p) that never transits
-    * the driver; `release` unpersists the round's intermediate once the
-    * scored pairs have been checkpointed. */
-  case class RoundResult(decisions: Seq[DecisionRow], lineage: Seq[LineageRow],
+  /** `decisions` and `scored` are distributed datasets that never transit
+    * the driver whole — run() spills decisions to the round's parquet and
+    * streams the commit from a sorted local iterator; `release` unpersists
+    * the round's intermediate once both have been checkpointed. */
+  case class RoundResult(decisions: org.apache.spark.sql.Dataset[DecisionRow],
+                         lineage: Seq[LineageRow],
                          scored: DataFrame, release: () => Unit)
 
   /** Per-round slice of the scored-pairs history relevant to this
     * candidate batch: pairs whose sub OR sup label is a candidate mention.
     * The full history stays a parquet-backed DataFrame (it grows without
-    * bound across rounds at corpus scale); only this bounded slice — at
-    * most |candidates| × |taxonomy| keys, in practice the pairs re-scored
-    * for returning candidates — is collected and broadcast (SURVEY.md M4).
-    */
+    * bound across rounds at corpus scale). Kept as the bounded-slice
+    * building block (SURVEY.md M4); the pipeline attaches the slice
+    * executor-side via [[candidatesWithPriors]] so it never transits the
+    * driver either. */
   def priorScoreSlice(candidates: DataFrame, scoredStore: DataFrame): DataFrame = {
     val m = broadcast(candidates.select(col("mention")))
     scoredStore.join(m, scoredStore("subLabel") === m("mention"), "left_semi")
@@ -183,22 +190,46 @@ object KgPipeline {
       .distinct()
   }
 
+  /** Attach each candidate's prior-score slice executor-side: a decide(l)
+    * call only ever queries pairs with l on one side (candidates are
+    * anti-joined against the taxonomy lexical table, so no pair can span
+    * two candidates), so grouping the history by the candidate mention it
+    * touches ships exactly the pairs each task needs — the history stays
+    * distributed end to end, and driver memory no longer scales with the
+    * slice (the round-2 bound this replaces collected it into a broadcast
+    * Map). The broadcast here is the candidate id list only. */
+  def candidatesWithPriors(candidates: DataFrame, scoredStore: DataFrame): DataFrame = {
+    val m = broadcast(candidates.select(col("mention")).distinct())
+    val subSide = scoredStore.join(m, scoredStore("subLabel") === m("mention"))
+      .select(col("mention"), col("subLabel"), col("supLabel"), col("p"))
+    val supSide = scoredStore.join(m, scoredStore("supLabel") === m("mention"))
+      .select(col("mention"), col("subLabel"), col("supLabel"), col("p"))
+    val sliced = subSide.union(supSide).distinct()
+      .groupBy("mention")
+      .agg(collect_list(struct(col("subLabel"), col("supLabel"), col("p"))).as("priors"))
+    candidates.join(sliced, Seq("mention"), "left_outer")
+  }
+
   /** Stage 3: link + decide, executor-side against the broadcast snapshot.
-    * `priorScores` must already be the bounded per-round slice
-    * ([[priorScoreSlice]]), never the full history. */
+    * `candidates` must carry the per-mention `priors` column
+    * ([[candidatesWithPriors]]) — pass a null/absent slice as an empty
+    * array, never the full history. */
   def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
-                  models: IconModels, cfg: PipelineConfig, round: Int,
-                  priorScores: Map[(String, String), Double]): RoundResult = {
+                  models: IconModels, cfg: PipelineConfig, round: Int): RoundResult = {
     import spark.implicits._
     val sc = spark.sparkContext
     val bTaxo = sc.broadcast(taxo)
     val bModels = sc.broadcast(models)
-    val bPrior = sc.broadcast(priorScores)
     // the label-hash → node lexical table is built ONCE from the snapshot
     // and shipped with the broadcast, not rebuilt in every task
     val bLexical = sc.broadcast(
       taxo.nodes.iterator.map(n => Tokenset.hash64(taxo.getLabel(n)) -> n).toMap)
-    val iconCfg = cfg.icon
+    // past the ANN threshold the search-space build gets the fanout cap
+    // too — same scale regime, same switch (BandedIndex scaladoc)
+    val iconCfg =
+      if (taxo.nodes.size > cfg.annNodeThreshold && cfg.icon.maxChildFanout == Int.MaxValue)
+        cfg.icon.copy(maxChildFanout = 10000)
+      else cfg.icon
     val retrieve = cfg.retrieveSize
 
     // taxonomy embeddings for the broadcast index (snapshot-scoped, R5).
@@ -217,21 +248,38 @@ object KgPipeline {
             idx.iterator.zip(emb.embed(idx.map(i => lbl.value(i.toInt)).toSeq).iterator)
           }.collect().sortBy(_._1).map(_._2)
       }
-    val bIndex = sc.broadcast((nodeIds, vecs))
+    // seed retrieval: exact index at reference scale, banded RHP-LSH above
+    // the threshold — a 10⁶-node snapshot × 10⁶ candidates would otherwise
+    // be 10¹² exact dot products in this one stage (BandedIndex scaladoc)
+    val index: graft.retrieve.SeedSearch =
+      if (nodeIds.length <= cfg.annNodeThreshold) new VectorIndex(nodeIds, vecs)
+      else {
+        val center = new Array[Double](if (vecs.isEmpty) 0 else vecs(0).length)
+        for (v <- vecs; i <- center.indices if i < v.length) center(i) += v(i)
+        for (i <- center.indices) center(i) /= math.max(1, vecs.length)
+        new graft.retrieve.BandedIndex(nodeIds, vecs, center)
+      }
+    val bIndex = sc.broadcast(index)
 
-    val raw = candidates.select(col("mention")).as[String]
+    val hasPriors = candidates.columns.contains("priors")
+    val input =
+      (if (hasPriors) candidates.select(col("mention"), col("priors"))
+       else candidates.select(col("mention"),
+         lit(null).cast("array<struct<subLabel:string,supLabel:string,p:double>>").as("priors")))
+        .as[(String, Seq[ScoredPair])]
+    val raw = input
       .mapPartitions { it =>
         val t0 = System.currentTimeMillis()
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val snapshot = bTaxo.value
         val m = bModels.value
-        val (ids, vs) = bIndex.value
-        val index = new VectorIndex(ids, vs)
+        val index = bIndex.value
         val cache = new ScoreCache(m.sub)
-        cache.importAll(bPrior.value.iterator.map { case ((a, b), p) => (a, b, p) })
         val lexical = bLexical.value
         val batch = it.toSeq
-        val decisions = batch.map { label =>
+        for ((_, priors) <- batch; if priors != null)
+          cache.importAll(priors.iterator.map(p => (p.subLabel, p.supLabel, p.p)))
+        val decisions = batch.map { case (label, _) =>
           val base = index.search(m.emb.embedOne(label), retrieve)._2.toSeq
           val d = IconTraversal.decide(snapshot, label, base, cache, iconCfg,
             l => lexical.get(Tokenset.hash64(l)))
@@ -243,24 +291,32 @@ object KgPipeline {
         Iterator((decisions, Seq(lineage), scored))
       }.persist()
 
-    // scored pairs stay a distributed dataset (they are written straight to
-    // the round's parquet checkpoint by run(), never collected); decisions
-    // and lineage are bounded by maxCandidatesPerRound and the task count,
-    // so collecting them for the deterministic driver commit is safe.
+    // scored pairs AND decisions stay distributed (run() spills decisions
+    // to the round's parquet and streams the deterministic commit from a
+    // sorted local iterator — driver memory is bounded by one partition,
+    // not the candidate count); lineage is one row per task, so collecting
+    // it is safe at any scale.
     val scoredDF = raw.flatMap(_._3).toDF("subLabel", "supLabel", "p")
       .groupBy("subLabel", "supLabel").agg(first("p").as("p"))
-    val rows = raw.map(r => (r._1, r._2)).collect()
-    RoundResult(rows.iterator.flatMap(_._1).toSeq.sortBy(_.label),
-      rows.iterator.flatMap(_._2).toSeq, scoredDF, () => raw.unpersist())
+    val decisionsDS = raw.flatMap(_._1.iterator)
+    val lineageRows = raw.flatMap(_._2.iterator).collect().toSeq
+    RoundResult(decisionsDS, lineageRows, scoredDF, () => raw.unpersist())
   }
 
-  /** Stage 4: deterministic-order driver commit with cycle screening (P4). */
+  /** Stage 4: deterministic-order driver commit with cycle screening (P4).
+    * `decisions` must arrive label-sorted (run() streams them from a
+    * sorted parquet iterator — one partition of driver memory, not the
+    * whole round); the Seq overload below sorts for direct callers. */
   def commit(taxo: MutableTaxo, decisions: Seq[DecisionRow], nextKey0: Long,
-             round: Int): (Long, Seq[(Long, Long, String, Int)], Seq[(String, Long)]) = {
+             round: Int): (Long, Seq[(Long, Long, String, Int)], Seq[(String, Long)]) =
+    commitStream(taxo, decisions.sortBy(_.label).iterator, nextKey0, round)
+
+  def commitStream(taxo: MutableTaxo, decisions: Iterator[DecisionRow], nextKey0: Long,
+                   round: Int): (Long, Seq[(Long, Long, String, Int)], Seq[(String, Long)]) = {
     var nextKey = nextKey0
     val delta = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
     val newConcepts = mutable.ArrayBuffer.empty[(String, Long)]
-    for (d <- decisions.sortBy(_.label)) {
+    for (d <- decisions) {
       if (d.eqvNode.isDefined || d.sup.nonEmpty) {
         val selfClass: Long = d.eqvNode match {
           case Some(e) if taxo.containsNode(e) => e
@@ -297,12 +353,33 @@ object KgPipeline {
       if (newConcepts.size <= 10000) canonicalizeLocal(newConcepts, models, threshold)
       else {
         // Spark path for rounds that mint concept sets beyond driver scale:
-        // LSH-blocked near-dup pairs + distributed connected components
+        // distributed embedding, LSH-blocked near-dup pairs + distributed
+        // connected components (embedding a 10⁶-concept mint on the driver
+        // was a single-threaded stall)
         import spark.implicits._
-        val emb = models.emb.embed(newConcepts.map(_._1))
-        val vecs = newConcepts.zip(emb).map { case ((_, id), v) => (id, v) }
+        val bm = spark.sparkContext.broadcast(models)
+        val vecs = newConcepts.toDF("label", "vec_id")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val emb = bm.value.emb
+            it.map { case (label, id) => (id, emb.embedOne(label)) }
+          }
           .toDF("vec_id", "embedding")
-        val pairs = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold)
+        // 256-bit/8-band signatures (32 sign bits per bucket key), NOT the
+        // q17 default (16/4): 4-bit buckets have only 16 distinct values
+        // per band, so a 10⁶-concept mint collapses into ~60k-member
+        // buckets → ~10¹¹ candidate pairs (measured: the 1M-candidate
+        // drive sat in this join indefinitely); 16-bit rows still admitted
+        // ~6×10⁷ random pairs at 10⁶ near-uniform vectors and OOM'd the
+        // verification join (embeddings are re-joined per candidate pair).
+        // 32-bit rows put random collisions at 2⁻³² per band (~10³ pairs
+        // at 10⁶ vectors); band recall stays ≥ 0.99 for the true-duplicate
+        // mints this merge targets (cos ≈ 1) — borderline-threshold pairs
+        // are sampled, the documented approximation vs the exact ≤10⁴
+        // driver path.
+        val pairs = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold,
+            bits = 256, bands = 8)
           .select(col("a"), col("b")).persist()
         val out =
           if (pairs.isEmpty) Map.empty[Long, Long]
@@ -443,20 +520,31 @@ object KgPipeline {
           .localCheckpoint(true)
       }
 
-      val priorSlice = timed("prior_slice") {
-        priorScoreSlice(fresh, scoredStore).as[(String, String, Double)]
-          .collect().map { case (a, b, p) => (a, b) -> p }.toMap
-      }
-      val result = timed("decide")(decideRound(spark, fresh, taxo, models, cfg, r, priorSlice))
+      val withPriors = timed("prior_slice")(candidatesWithPriors(fresh, scoredStore))
+      val result = timed("decide")(decideRound(spark, withPriors, taxo, models, cfg, r))
       allLineage ++= result.lineage
 
-      val (nk, delta, newConcepts) = timed("commit")(commit(taxo, result.decisions, nextKey, r))
+      // spill decisions to the round's parquet, then stream the
+      // deterministic commit from a sorted local iterator: driver memory
+      // is bounded by one partition regardless of maxCandidatesPerRound
+      val rd = roundDir(ckptDir, r)
+      val decisionsSorted = timed("decide") {
+        result.decisions.write.mode(SaveMode.Overwrite).parquet(s"$rd/decisions")
+        spark.read.parquet(s"$rd/decisions").as[DecisionRow].orderBy("label")
+      }
+      val (nk, delta, newConcepts) = timed("commit")(
+        commitStream(taxo, decisionsSorted.toLocalIterator().asScala, nextKey, r))
       nextKey = nk
       allDeltas ++= delta
 
-      // record sameAs (eqv) triples from this round's decisions
-      for (d <- result.decisions; e <- d.eqvNode if taxo.containsNode(e))
-        sameAs += ((d.label, taxo.getLabel(e), r))
+      // record sameAs (eqv) triples from this round's decisions — a second
+      // streamed pass over the sorted spill (same order as the Seq loop it
+      // replaces), after commit so containsNode sees the committed state
+      timed("commit") {
+        for (d <- decisionsSorted.toLocalIterator().asScala;
+             e <- d.eqvNode if taxo.containsNode(e))
+          sameAs += ((d.label, taxo.getLabel(e), r))
+      }
 
       val merge = timed("canonicalize")(
         canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold))
@@ -471,13 +559,12 @@ object KgPipeline {
       // itself a big table; re-reading the written parquet also cuts the
       // union lineage chain so rounds don't stack up a growing plan.)
       timed("checkpoint") {
-        val rd = roundDir(ckptDir, r)
         taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
         taxo.edges.toDF("src", "dst", "label")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
-        val fresh = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
-        scoredStore.union(fresh)
+        val freshPairs = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
+        scoredStore.union(freshPairs)
           .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
         result.release()
         scoredStore = spark.read.parquet(s"$rd/scored_pairs")

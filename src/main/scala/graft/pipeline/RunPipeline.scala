@@ -6,9 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** CLI for the KG pipeline over the synthetic webtext corpus.
   *
-  * Usage: runMain graft.pipeline.RunPipeline <ckptDir> <pages> <rounds> [cores]
+  * Usage: runMain graft.pipeline.RunPipeline
+  *          <ckptDir> <pages> <rounds> [cores] [maxCandidates] [minFreq] [corpus]
+  *   corpus = webtext (default) | rand50k — rand50k draws each document's
+  *   words uniformly from a 50k-word vocabulary (the ScalingBench dedup
+  *   corpus shape), which yields millions of DISTINCT candidate mentions:
+  *   the stress shape for the uncapped-candidate drive (the webtext corpus
+  *   is vocabulary-bounded, so its candidate count plateaus).
+  *
   * Resumable: re-running with the same ckptDir continues after the last
   * round whose COMMIT marker exists (kill it mid-run and re-run to verify).
+  * Prints driver-heap telemetry per run so candidate-scale drives can
+  * evidence flat driver memory.
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
@@ -16,6 +25,9 @@ object RunPipeline {
     val pages = if (args.length > 1) args(1).toLong else 10000L
     val rounds = if (args.length > 2) args(2).toInt else 2
     val cores = if (args.length > 3) args(3) else "8"
+    val maxCands = if (args.length > 4) args(4).toInt else 100
+    val minFreq = if (args.length > 5) args(5).toLong else 2L
+    val corpusKind = if (args.length > 6) args(6) else "webtext"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -23,15 +35,35 @@ object RunPipeline {
       // the pipeline drives GraphOps fixpoints from driver-built frames in
       // the distributed-canonicalize path; see GraphOps session note
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // candidate selection is orderBy(freq,mention).limit(cap): for large
+      // caps TakeOrderedAndProject would merge per-partition top-k ON THE
+      // DRIVER — force the sort+GlobalLimit plan (executor-side) past 100k
+      .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = WebtextGen.generate(spark, pages, 16).select(col("url"), col("html"))
-    println(s"[pipeline] resume point: round ${KgPipeline.lastCompleteRound(ckpt)}")
-    val result = KgPipeline.run(spark, corpus, "html", KgPipeline.domainModels(),
-      KgPipeline.PipelineConfig(rounds = rounds, maxCandidatesPerRound = 100,
-        minMentionFreq = 2), ckpt, htmlInput = true)
-    println(s"[pipeline] rounds run: ${result.roundsRun}; triples: ${result.triples.count()}")
+    def heapMb(): Long = {
+      System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+    val (corpus, textCol, isHtml) = corpusKind match {
+      case "rand50k" =>
+        val c = spark.range(0, pages, 1, 64).select(
+          concat(lit("https://x.test/"), col("id")).as("url"),
+          concat_ws(" ", transform(sequence(lit(1), lit(100)),
+            i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000))))).as("text"))
+        (c, "text", false)
+      case _ =>
+        (WebtextGen.generate(spark, pages, 16).select(col("url"), col("html")), "html", true)
+    }
+    println(s"[pipeline] resume point: round ${KgPipeline.lastCompleteRound(ckpt)}; " +
+      s"heap before: ${heapMb()} MB")
+    val result = KgPipeline.run(spark, corpus, textCol, KgPipeline.domainModels(),
+      KgPipeline.PipelineConfig(rounds = rounds, maxCandidatesPerRound = maxCands,
+        minMentionFreq = minFreq), ckpt, htmlInput = isHtml)
+    println(s"[pipeline] rounds run: ${result.roundsRun}; triples: ${result.triples.count()}; " +
+      s"heap after: ${heapMb()} MB")
     result.triples.orderBy("subj", "pred", "obj").show(10, truncate = false)
     spark.stop()
   }

@@ -188,11 +188,30 @@ class MutableTaxo extends Serializable {
                    reverse: Boolean = false): Seq[Long] = {
     if (subset.isEmpty) return Seq.empty
     val distinct = subset.distinct
+    // a singleton reduces to itself — skip the reachability walk entirely
+    // (the commit stage calls this once per decision, and a full-graph BFS
+    // per one-element sup set made commit O(candidates × |taxo|))
+    if (distinct.sizeIs <= 1) return distinct
     val current = mutable.LinkedHashSet(distinct: _*)
-    val func: Long => Seq[Long] =
-      if (reverse) getAncestors(_, labels) else getDescendants(_, labels)
+    val step: Long => Seq[Long] =
+      if (reverse) getParents(_, labels) else getChildren(_, labels)
+    // early-exit BFS: stop as soon as ANY still-current member is reached
+    // (same answer as materializing the whole closure and testing exists —
+    // the antichain reduction is order-independent, SURVEY.md G9)
+    def reachesCurrent(start: Long): Boolean = {
+      val queue = mutable.Queue(start)
+      val visited = mutable.HashSet(start)
+      while (queue.nonEmpty) {
+        val n = queue.dequeue()
+        for (m <- step(n)) if (visited.add(m)) {
+          if (current.contains(m)) return true
+          queue.enqueue(m)
+        }
+      }
+      false
+    }
     for (n <- distinct) {
-      if (func(n).exists(current.contains)) current.remove(n)
+      if (reachesCurrent(n)) current.remove(n)
     }
     current.toSeq
   }
@@ -246,10 +265,29 @@ class MutableTaxo extends Serializable {
     * least one base node. BFS downward from top, skipping base-descendants. */
   def createInsertionSearchSpace(base: Seq[Long], cropTop: Boolean = true,
                                  forceLabels: Seq[Set[String]] = Nil,
-                                 strict: Boolean = false): MutableTaxo = {
-    if (base.isEmpty) return deepCopy()
+                                 strict: Boolean = false,
+                                 maxChildFanout: Int = Int.MaxValue): MutableTaxo = {
+    if (base.isEmpty) {
+      if (maxChildFanout == Int.MaxValue) return deepCopy()
+      // capped scale path (IconConfig.maxChildFanout): a seedless candidate
+      // gets the root set only — copying a million-node graph per candidate
+      // is the degenerate case the cap exists for
+      val sg = new MutableTaxo
+      for (r <- getGCD(Nil)) sg.addNode(r, Option(getLabel(r)))
+      return sg
+    }
     val subgraph = new MutableTaxo
     val baseReduced = reduceSubset(base).toSet
+    // cap support: children of an over-fanout node are restricted to the
+    // paths that lead to the retrieval seeds (base ∪ its ancestors) — the
+    // region crop_top was aiming at before a flat snapshot degenerated it
+    val seedPaths: mutable.HashSet[Long] =
+      if (maxChildFanout == Int.MaxValue) null
+      else {
+        val s = mutable.HashSet.empty[Long]
+        for (b <- baseReduced) { s += b; s ++= getAncestors(b) }
+        s
+      }
 
     val top: Seq[Long] =
       if (!cropTop) getGCD(Nil)
@@ -269,7 +307,16 @@ class MutableTaxo extends Serializable {
       val node = queue.dequeue()
       subgraph.addNode(node, Option(getLabel(node)))
       if (!baseReduced.contains(node)) {
-        for (sub <- getChildren(node)) {
+        // over-fanout probe runs from the SEED side: enumerating a
+        // million-child node's list per candidate is itself the quadratic
+        // cost the cap exists to avoid. Sorted for determinism (seedPaths
+        // is a hash set; expansion order feeds decision tie-breaks).
+        val kidMap = pred.getOrElse(node, mutable.Map.empty[Long, String])
+        val expand: Seq[Long] =
+          if (seedPaths != null && kidMap.size > maxChildFanout)
+            seedPaths.iterator.filter(kidMap.contains).toSeq.sorted
+          else getChildren(node)
+        for (sub <- expand) {
           if (!baseDescendants.contains(sub) && (!strict || baseSubsumes.contains(sub))) {
             subgraph.addEdge(sub, node, getEdgeLabel(sub, node))
             queue.enqueue(sub)
