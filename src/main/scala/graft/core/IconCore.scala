@@ -31,7 +31,16 @@ case class IconConfig(
     forcePrune: Boolean = false,
     doUpdate: Boolean = true,
     doLexicalCheck: Boolean = true,
-    transitiveReduction: Boolean = true) extends Serializable {
+    transitiveReduction: Boolean = true,
+    // scale guard for the insertion-search-space build: a node whose
+    // IN-SPACE child fanout exceeds this keeps only children on paths to
+    // the retrieval seeds (base ∪ ancestors-of-base). Int.MaxValue (the
+    // default) is exact reference semantics (taxonomy.py:410-458); the KG
+    // pipeline lowers it alongside the BandedIndex ANN switch — a FLAT
+    // million-node snapshot otherwise makes every candidate's search space
+    // the whole graph (measured: round 2 of the 10⁶-candidate drive sat in
+    // createInsertionSearchSpace indefinitely).
+    maxChildFanout: Int = Int.MaxValue) extends Serializable {
   require(threshold >= 0 && threshold <= 1, "Threshold must be in the range [0,1]")
   /** Default eqv ranking = product of the two scores (config.py:103, icon.py:61). */
   def eqvScore(pSup: Double, pSub: Double): Double = pSup * pSub
@@ -212,7 +221,7 @@ object IconTraversal {
 
     val subtaxo = working.createInsertionSearchSpace(
       base, cropTop = config.subgraphCrop, forceLabels = config.subgraphForce,
-      strict = config.subgraphStrict)
+      strict = config.subgraphStrict, maxChildFanout = config.maxChildFanout)
 
     var (sup, sub, eqv) = enhancedTraversal(subtaxo, newlabel, base, cache, config)
 

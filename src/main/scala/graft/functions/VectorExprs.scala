@@ -57,8 +57,8 @@ object VectorExprs {
     * 500 uncentered synthetic vectors). Bit order: bit b at position b;
     * band buckets are extracted with shiftrightunsigned. */
   def rhpSig(v: Column, bits: Int, dim: Int = 64,
-             center: Seq[Double] = Nil): Column =
-    toColumn(RhpSigExpr(toExpr(v), bits, dim, center))
+             center: Seq[Double] = Nil, bitOffset: Int = 0): Column =
+    toColumn(RhpSigExpr(toExpr(v), bits, dim, center, bitOffset))
 
   /** murmur3 fmix64 finalizer. FNV-1a alone is NOT usable for sign bits:
     * its low bit is GF(2)-linear in the input bytes (bit 0 survives the odd
@@ -380,16 +380,22 @@ object SimHashExpr {
   * from fnv1a64("rhp:b:i") — identical sign matrix to the round-1 array
   * form, one compiled loop instead of bits × dim interpreted lambdas. */
 case class RhpSigExpr(child: Expression, bits: Int, dim: Int,
-                      center: Seq[Double] = Nil)
+                      center: Seq[Double] = Nil, bitOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+  require(bitOffset >= 0, s"bitOffset must be >= 0, got $bitOffset")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
-  // signs(b)(i) = +1.0 / -1.0, recomputed deterministically on each executor
+  // signs(b)(i) = +1.0 / -1.0, recomputed deterministically on each
+  // executor. bitOffset shifts into a disjoint region of the global plane
+  // family (plane identity is the absolute bit index), so >64-bit
+  // signatures split across words draw independent hyperplanes per word
+  // (SimOps.banded multi-word path); offset 0 is bit-identical to the
+  // round-2 expression and the q18 oracle literals.
   @transient private lazy val signs: Array[Array[Double]] =
-    Array.tabulate(bits, dim)(VectorExprs.rhpSign)
+    Array.tabulate(bits, dim)((b, i) => VectorExprs.rhpSign(b + bitOffset, i))
   @transient private lazy val centerArr: Array[Double] = center.toArray
 
   override protected def nullSafeEval(input: Any): Any = {

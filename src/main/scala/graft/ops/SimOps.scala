@@ -51,8 +51,8 @@ object SimOps {
     * dot(v - center, h_b) where h_b is a deterministic FNV-derived ±1
     * hyperplane. One compiled loop per row (VectorExprs.rhpSig). */
   def rhpSignature(v: Column, bits: Int, dim: Int = 64,
-                   center: Seq[Double] = Nil): Column =
-    VectorExprs.rhpSig(v, bits, dim, center)
+                   center: Seq[Double] = Nil, bitOffset: Int = 0): Column =
+    VectorExprs.rhpSig(v, bits, dim, center, bitOffset)
 
   /** Per-dimension corpus mean, rounded to 6 dp so the DuckDB oracle can
     * rebuild the identical centering vector. One cheap aggregation pass;
@@ -75,16 +75,28 @@ object SimOps {
   private def banded(df: DataFrame, bits: Int, bands: Int,
                      center: Seq[Double]): DataFrame = {
     val rows = bits / bands
+    require(rows <= 64, s"rows per band must fit a long, got $rows")
+    // signatures beyond 64 bits split across words; each word draws an
+    // independent slice of the global plane family (bitOffset = absolute
+    // plane index), and every band's row bits must lie within one word
+    val nWords = (bits + 63) / 64
+    require(nWords == 1 || 64 % rows == 0,
+      s"multi-word banding needs rows dividing 64, got $rows")
     val mask = if (rows == 64) -1L else (1L << rows) - 1
+    val sigCols = (0 until nWords).map(w =>
+      rhpSignature(col("embedding"), math.min(64, bits - w * 64),
+        center = center, bitOffset = w * 64).as(s"sig$w"))
     // (band, row-bits) packed into ONE long join key: band in the high
     // bits, bucket in the low — injective, so the candidate set is
     // identical to a (band, bucket) two-column join at less shuffle volume
-    df.select(col("vec_id"), rhpSignature(col("embedding"), bits, center = center).as("sig"))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bucket",
-        (col("band").cast("long") * lit(1L << 48)) +
-          expr(s"shiftrightunsigned(sig, band * $rows)").bitwiseAND(lit(mask)))
-      .select(col("vec_id"), col("bucket"))
+    val bucketCols = (0 until bands).map { b =>
+      val w = (b.toLong * rows) / 64
+      val sh = ((b.toLong * rows) % 64).toInt
+      (lit(b.toLong * (1L << 48)) +
+        shiftrightunsigned(col(s"sig$w"), sh).bitwiseAND(lit(mask))).as(s"b$b")
+    }
+    df.select(col("vec_id") +: sigCols: _*)
+      .select(col("vec_id"), explode(array(bucketCols: _*)).as("bucket"))
   }
 
   /** LSH-bucketed approximate top-k: block by hyperplane-signature bands,

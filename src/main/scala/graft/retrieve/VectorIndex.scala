@@ -13,7 +13,8 @@ package graft.retrieve
   * Ordering: score descending, ties broken by id ascending (deterministic
   * across platforms; float64 accumulation).
   */
-class VectorIndex(val ids: Array[Long], val vectors: Array[Array[Float]]) extends Serializable {
+class VectorIndex(val ids: Array[Long], val vectors: Array[Array[Float]])
+    extends SeedSearch with Serializable {
   require(ids.length == vectors.length)
   val dim: Int = if (vectors.isEmpty) 0 else vectors(0).length
   private val pos = scala.collection.mutable.HashMap[Long, Int](ids.zipWithIndex.toSeq: _*)
@@ -31,16 +32,28 @@ class VectorIndex(val ids: Array[Long], val vectors: Array[Array[Float]]) extend
   }
 
   /** Exact top-k by inner product; `subset` restricts candidate ids
-    * (vector_index.py:66-91 with exhaustive=True). Returns (scores, ids). */
-  def search(query: Array[Float], k: Int, subset: Option[Set[Long]] = None): (Array[Double], Array[Long]) = {
-    val cand = subset match {
-      case None => ids.indices
-      case Some(s) => ids.indices.filter(i => s.contains(ids(i)))
+    * (vector_index.py:66-91 with exhaustive=True). Returns (scores, ids).
+    * Bounded TopK selection, not a full sort — same (score desc, id asc)
+    * order with zero per-entry allocation (a 50k-node snapshot sorted 50k
+    * boxed tuples PER QUERY before). */
+  def search(query: Array[Float], k: Int, subset: Option[Set[Long]]): (Array[Double], Array[Long]) = {
+    val top = new TopK(k)
+    subset match {
+      case None =>
+        var i = 0
+        while (i < ids.length) { top.offer(dot(query, vectors(i)), ids(i)); i += 1 }
+      case Some(s) =>
+        var i = 0
+        while (i < ids.length) {
+          if (s.contains(ids(i))) top.offer(dot(query, vectors(i)), ids(i))
+          i += 1
+        }
     }
-    val scored = cand.map(i => (dot(query, vectors(i)), ids(i)))
-    val top = scored.sortBy { case (sc, id) => (-sc, id) }.take(k)
-    (top.map(_._1).toArray, top.map(_._2).toArray)
+    top.result()
   }
+
+  override def search(query: Array[Float], k: Int): (Array[Double], Array[Long]) =
+    search(query, k, None)
 
   /** Bulk-synchronous rebuild helpers (R3: union / anti-join semantics —
     * the Spark engine recomputes the index per round, no in-place mutation). */

@@ -122,6 +122,28 @@ class TaxoSpec extends AnyFunSuite {
     assert(sub.containsNode(1L)) // LCA(3,4) = 1 bounds the space
   }
 
+  test("insertion search space fanout cap keeps only seed paths on flat graphs") {
+    val t = new MutableTaxo
+    t.addNode(0L, Some("root"))
+    for (i <- 1L to 100L) { t.addNode(i, Some(s"c$i")); t.addEdge(i, 0L, "new") }
+    // uncapped (reference semantics): the whole flat graph
+    val full = t.createInsertionSearchSpace(Seq(3L, 7L), strict = false)
+    assert(full.nodes.size == 101) // root + all 100 children (base included)
+    // capped: root + the two seeds only — over-fanout expansion restricted
+    // to children on paths to the seeds
+    val capped = t.createInsertionSearchSpace(Seq(3L, 7L), strict = false,
+      maxChildFanout = 10)
+    assert(capped.nodes.toSet == Set(0L, 3L, 7L))
+    assert(capped.containsEdge(3L, 0L) && capped.containsEdge(7L, 0L))
+    // a fanout under the cap is untouched (exact reference semantics)
+    val small = t.createInsertionSearchSpace(Seq(3L, 7L), strict = false,
+      maxChildFanout = 1000)
+    assert(small.nodes.toSet == full.nodes.toSet)
+    // capped empty base: the root set, not a full deep copy
+    val emptyCapped = t.createInsertionSearchSpace(Nil, maxChildFanout = 10)
+    assert(emptyCapped.nodes.toSet == Set(0L))
+  }
+
   test("tree taxonomy enforces single parent") {
     val t = new TreeTaxo(0L)
     for ((id, l) <- Seq((0L, "Root"), (1L, "A"), (2L, "B"), (3L, "C"))) t.addNode(id, Some(l))
