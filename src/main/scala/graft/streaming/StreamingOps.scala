@@ -40,7 +40,46 @@ object StreamingOps {
                               docsSchema: org.apache.spark.sql.types.StructType,
                               sentinelDir: String,
                               sentinelSchema: org.apache.spark.sql.types.StructType,
-                              queryName: String = "mentions_append"): StreamingQuery = {
+                              queryName: String = "mentions_append"): StreamingQuery =
+    mentionsAppendPlan(spark, docsDir, docsSchema, sentinelDir, sentinelSchema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Production-sink variant of [[streamingMentionsAppend]]: the same
+    * watermarked append-mode plan, written to a parquet FILE sink with a
+    * checkpointLocation — the shape an actually unbounded ingest runs
+    * with (the memory-sink twin is a test harness). Each call drains the
+    * files that have arrived so far (AvailableNow) and terminates;
+    * re-calling with the same checkpoint resumes exactly-once — file-source
+    * offsets, watermark, and aggregation state all live in the checkpoint —
+    * so incremental batches and mid-stream restarts are the normal mode of
+    * operation, not a special case. */
+  def streamingMentionsToParquet(spark: SparkSession, docsDir: String,
+                                 docsSchema: org.apache.spark.sql.types.StructType,
+                                 sentinelDir: String,
+                                 sentinelSchema: org.apache.spark.sql.types.StructType,
+                                 outDir: String, checkpointDir: String): StreamingQuery =
+    mentionsAppendPlan(spark, docsDir, docsSchema, sentinelDir, sentinelSchema)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Shared watermarked mention-count plan for the append-mode twins.
+    * Corpus rows are stamped into an ingest-hour window; a sentinel row
+    * (doc_id < 0, empty text — yields no mentions) arrives 3 hours later
+    * and advances the watermark past the corpus window so the final
+    * no-data micro-batch flushes the closed window's counts to the sink.
+    * The watermark is attached BEFORE the mention explode so the
+    * mention-less sentinel still advances it. */
+  private def mentionsAppendPlan(spark: SparkSession, docsDir: String,
+                                 docsSchema: org.apache.spark.sql.types.StructType,
+                                 sentinelDir: String,
+                                 sentinelSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val base = lit("2026-01-01 00:30:00").cast("timestamp")
     val flush = lit("2026-01-01 03:00:00").cast("timestamp")
     val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
@@ -54,10 +93,6 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("mention"))
       .agg(count(lit(1)).as("freq"))
       .select(col("mention"), col("freq"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
   }
 
   /** Event for the stateful sessionizer. */

@@ -48,6 +48,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("parquet file sink: incremental batches + mid-stream restarts match the batch oracle") {
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("psink_in").toString
+    val outDir = Files.createTempDirectory("psink_out").toString + "/out"
+    val ckptDir = Files.createTempDirectory("psink_ckpt").toString
+    val sentinelDir = Files.createTempDirectory("psink_sentinel").toString
+    val web = WebtextGen.generate(spark, 300, 4)
+      .select(monotonically_increasing_id().as("doc_id"),
+        graft.extract.HtmlExtract.extractBinary(col("html")).as("text"))
+      .persist()
+    val docsSchema = web.schema
+    val sentinelSchema = web.schema
+    def drain(): Unit = {
+      val q = StreamingOps.streamingMentionsToParquet(spark, docsDir, docsSchema,
+        sentinelDir, sentinelSchema, outDir, ckptDir)
+      q.awaitTermination(120000)
+    }
+    // three incremental arrival batches, the query RESTARTED (same
+    // checkpoint) between each — file-source offsets, watermark, and agg
+    // state all resume from the checkpoint
+    for (b <- 0 until 3) {
+      web.filter(pmod(col("doc_id"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(docsDir)
+      drain()
+    }
+    // no-new-data restart: must be a no-op (exactly-once), not a re-emit
+    drain()
+    // sentinel arrives → watermark passes the corpus window → final flush
+    Seq((-1L, "")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(sentinelDir)
+    drain()
+    val streamed = spark.read.parquet(outDir)
+      .as[(String, Long)].collect().toMap
+    val batch = KgPipeline.extractMentions(web, "text", 1L)
+      .as[(String, Long)].collect().toMap
+    web.unpersist()
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q31 streams a single-file parquet table via symlink dir (driver shape)") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
