@@ -161,10 +161,21 @@ object TextOps {
     * buckets, then verify candidates with exact Jaccard ≥ threshold.
     * The band join is the blocking step that replaces the all-pairs
     * product at scale (SURVEY.md §7.1 step 5); verification keeps the
-    * output exact-equal to `jaccardPairs` whenever banding recall is 1. */
-  def minhashPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
-                   numHashes: Int = 32, bands: Int = 16,
-                   threshold: Double = 0.8): DataFrame = {
+    * output exact-equal to `jaccardPairs` whenever banding recall is 1.
+    *
+    * Default (numHashes=128, bands=16, rows=8) is the committed sweep's
+    * winner at the production threshold 0.8 (graft.MinHashSweepBench,
+    * BENCH/BASELINE.md §9): the most selective config above the 0.95
+    * banding-recall bar (0.988 recall at 0.102 candidates/doc — rows=1
+    * settings like q14's oracle-exact one admit every mildly-similar pair,
+    * 63% more candidates on the graded corpus and unboundedly more on real
+    * web text). S-curve midpoint (1/16)^(1/8) ≈ 0.71. */
+  /** Banded-LSH candidate pairs (a < b, distinct) BEFORE exact
+    * verification — the blocking stage of [[minhashPairs]], exposed so the
+    * banding sweep (graft.MinHashSweepBench) can measure candidate-pair
+    * rate per (numHashes, bands) config separately from banding recall. */
+  def minhashCandidates(df: DataFrame, textCol: String = "text", k: Int = 3,
+                        numHashes: Int = 128, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // the band index is mixed INTO the bucket hash: a single 8-byte join
@@ -176,11 +187,26 @@ object TextOps {
       .withColumn("bucket",
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
       .select(col("doc_id"), col("bucket"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // posting-list candidate generation (the q13 jaccardPairs pattern): ONE
+    // exchange of the banded table builds per-bucket id lists; pairs are
+    // exploded within each list — the self-join form shuffled the table
+    // twice and probed a hash relation besides, and was the measured
+    // scaling gap of the dedup family (minhash phase 0.70 at 4→16 cores).
+    // Quadratic work stays bounded by the largest bucket, exactly as the
+    // join's per-key output was.
+    banded.groupBy("bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
       .distinct()
+  }
+
+  def minhashPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
+                   numHashes: Int = 128, bands: Int = 16,
+                   threshold: Double = 0.8): DataFrame = {
+    val cand = minhashCandidates(df, textCol, k, numHashes, bands)
     // exact-Jaccard verification of the candidates: join back the compiled
     // long-hash shingle arrays (8-byte elements through the shuffle and the
     // set ops, instead of k-word strings)
