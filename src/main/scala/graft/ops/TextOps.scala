@@ -209,9 +209,17 @@ object TextOps {
     val cand = minhashCandidates(df, textCol, k, numHashes, bands)
     // exact-Jaccard verification of the candidates: join back the compiled
     // long-hash shingle arrays (8-byte elements through the shuffle and the
-    // set ops, instead of k-word strings)
-    val texts = df.select(col("doc_id"),
-      graft.functions.VectorExprs.wordShingleHashes(col(textCol), k).as("sh"))
+    // set ops, instead of k-word strings). The corpus is semi-join pruned
+    // to docs that appear in a candidate pair BEFORE the shingle arrays are
+    // computed: verification cost must scale with the candidate set, not
+    // the corpus — un-pruned, the two verification joins shuffled the full
+    // corpus's hash arrays (~0.8 GB per side at 10⁶ docs), the measured
+    // bulk of the minhash phase regardless of how few candidates surfaced.
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val texts = df.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.wordShingleHashes(col(textCol), k).as("sh"))
     val withSets = cand
       .join(texts.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
       .join(texts.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
