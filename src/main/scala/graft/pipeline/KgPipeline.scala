@@ -524,24 +524,37 @@ object KgPipeline {
       val result = timed("decide")(decideRound(spark, withPriors, taxo, models, cfg, r))
       allLineage ++= result.lineage
 
-      // spill decisions to the round's parquet, then stream the
-      // deterministic commit from a sorted local iterator: driver memory
-      // is bounded by one partition regardless of maxCandidatesPerRound
+      // adaptive commit source (the §4.5 driver/distributed pattern): the
+      // decision count is already known from the collected per-task lineage
+      // rows, so round-sized batches are collected directly — the parquet
+      // spill costs ~4 extra jobs per round, a measurable serial term on a
+      // 16-core 26 s pipeline wall — while big rounds spill to the round's
+      // parquet and STREAM the commit from a sorted local iterator (driver
+      // memory = one partition, regardless of maxCandidatesPerRound; the
+      // 10⁶-candidate drive exercises this path, BENCH/BASELINE.md §9b).
+      // Both paths feed identical label-sorted iterators to commitStream.
       val rd = roundDir(ckptDir, r)
-      val decisionsSorted = timed("decide") {
-        result.decisions.write.mode(SaveMode.Overwrite).parquet(s"$rd/decisions")
-        spark.read.parquet(s"$rd/decisions").as[DecisionRow].orderBy("label")
+      val nDecisions = result.lineage.iterator.map(_.rowsOut).sum
+      val decisionsSorted: () => Iterator[DecisionRow] = timed("decide") {
+        if (nDecisions <= 100000) {
+          val sorted = result.decisions.collect().sortBy(_.label)
+          () => sorted.iterator
+        } else {
+          result.decisions.write.mode(SaveMode.Overwrite).parquet(s"$rd/decisions")
+          val ds = spark.read.parquet(s"$rd/decisions").as[DecisionRow].orderBy("label")
+          () => ds.toLocalIterator().asScala
+        }
       }
       val (nk, delta, newConcepts) = timed("commit")(
-        commitStream(taxo, decisionsSorted.toLocalIterator().asScala, nextKey, r))
+        commitStream(taxo, decisionsSorted(), nextKey, r))
       nextKey = nk
       allDeltas ++= delta
 
       // record sameAs (eqv) triples from this round's decisions — a second
-      // streamed pass over the sorted spill (same order as the Seq loop it
-      // replaces), after commit so containsNode sees the committed state
+      // pass in the same sorted order as the Seq loop it replaces, after
+      // commit so containsNode sees the committed state
       timed("commit") {
-        for (d <- decisionsSorted.toLocalIterator().asScala;
+        for (d <- decisionsSorted();
              e <- d.eqvNode if taxo.containsNode(e))
           sameAs += ((d.label, taxo.getLabel(e), r))
       }
