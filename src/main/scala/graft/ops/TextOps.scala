@@ -187,19 +187,20 @@ object TextOps {
       .withColumn("bucket",
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
       .select(col("doc_id"), col("bucket"))
-    // posting-list candidate generation (the q13 jaccardPairs pattern): ONE
-    // exchange of the banded table builds per-bucket id lists; pairs are
-    // exploded within each list — the self-join form shuffled the table
-    // twice and probed a hash relation besides, and was the measured
-    // scaling gap of the dedup family (minhash phase 0.70 at 4→16 cores).
-    // Quadratic work stays bounded by the largest bucket, exactly as the
-    // join's per-key output was.
-    banded.groupBy("bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
+    // Self-join on the bucket key. Spark reuses the single exchange for
+    // both sides (identical subplan → ReusedExchange), so this is already
+    // one shuffle of the banded table. A posting-list rewrite
+    // (collect_list + double explode, the q13 pattern) was tried and
+    // REVERTED: the first explode carries the whole id array into every
+    // output row — O(|list|²) bytes materialized per bucket — which
+    // regressed the rows=1 oracle setting (few, giant buckets) 3× while
+    // winning nothing here; q13's version survives because maxShingleFreq
+    // caps its list sizes. The verification prune below is where the
+    // measured round-3 win lives.
+    banded.as("x").join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
   }
 
