@@ -61,6 +61,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(tripleSet(r1.triples) == tripleSet(r2.triples))
   }
 
+  test("ANN decide path (BandedIndex + fanout cap) runs end-to-end and is deterministic") {
+    // annNodeThreshold below the seed taxonomy size forces every decide
+    // round through the banded-LSH seed retrieval + capped search-space
+    // build — the 10⁶-node scale path (BENCH/BASELINE.md §9b), exercised
+    // here at test scale. Approximate retrieval may legitimately differ
+    // from the exact path's decisions; the contract is completion,
+    // placements, and run-to-run determinism.
+    val annCfg = cfg(1).copy(annNodeThreshold = 10)
+    val r1 = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), annCfg, Files.createTempDirectory("kgann1").toString)
+    val r2 = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), annCfg, Files.createTempDirectory("kgann2").toString)
+    val t1 = tripleSet(r1.triples)
+    assert(t1.nonEmpty)
+    assert(t1 == tripleSet(r2.triples), "ANN decide path must be deterministic")
+  }
+
   test("resume from round-1 checkpoint reproduces the full 2-round output") {
     val full = Files.createTempDirectory("kgfull").toString
     val part = Files.createTempDirectory("kgpart").toString
