@@ -76,6 +76,11 @@ object SimOps {
                      center: Seq[Double]): DataFrame = {
     val rows = bits / bands
     require(rows <= 64, s"rows per band must fit a long, got $rows")
+    // the packed key tags the band at bit 48: with multiple bands, row
+    // bits beyond 48 would alias into the tag (spurious cross-band
+    // candidates) and the Long add could overflow under ANSI mode
+    require(bands == 1 || rows <= 48,
+      s"multi-band packing needs rows <= 48, got $rows (use bands = 1 for a single full-width band)")
     // signatures beyond 64 bits split across words; each word draws an
     // independent slice of the global plane family (bitOffset = absolute
     // plane index), and every band's row bits must lie within one word

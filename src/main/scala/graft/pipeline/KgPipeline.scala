@@ -545,18 +545,22 @@ object KgPipeline {
           () => ds.toLocalIterator().asScala
         }
       }
+      // eqv pairs are captured while the commit stream drains (they are a
+      // tiny fraction of a round) instead of a second full drain — on the
+      // spill path the old second pass re-ran the whole global sort. The
+      // containsNode filter runs AFTER commit, exactly as the two-pass
+      // form did, so the committed-state semantics are unchanged.
+      val eqvSeen = mutable.ArrayBuffer.empty[(String, Long)]
       val (nk, delta, newConcepts) = timed("commit")(
-        commitStream(taxo, decisionsSorted(), nextKey, r))
+        commitStream(taxo, decisionsSorted().map { d =>
+          for (e <- d.eqvNode) eqvSeen += ((d.label, e))
+          d
+        }, nextKey, r))
       nextKey = nk
       allDeltas ++= delta
-
-      // record sameAs (eqv) triples from this round's decisions — a second
-      // pass in the same sorted order as the Seq loop it replaces, after
-      // commit so containsNode sees the committed state
       timed("commit") {
-        for (d <- decisionsSorted();
-             e <- d.eqvNode if taxo.containsNode(e))
-          sameAs += ((d.label, taxo.getLabel(e), r))
+        for ((l, e) <- eqvSeen if taxo.containsNode(e))
+          sameAs += ((l, taxo.getLabel(e), r))
       }
 
       val merge = timed("canonicalize")(

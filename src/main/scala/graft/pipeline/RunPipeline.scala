@@ -54,8 +54,13 @@ object RunPipeline {
           concat_ws(" ", transform(sequence(lit(1), lit(100)),
             i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000))))).as("text"))
         (c, "text", false)
-      case _ =>
+      case "webtext" =>
         (WebtextGen.generate(spark, pages, 16).select(col("url"), col("html")), "html", true)
+      case other =>
+        // a typo must not silently run the wrong benchmark shape — the
+        // rand50k drive exists to evidence uncapped-candidate behavior,
+        // which the vocabulary-bounded webtext corpus cannot show
+        sys.error(s"unknown corpus '$other' (expected webtext | rand50k)")
     }
     println(s"[pipeline] resume point: round ${KgPipeline.lastCompleteRound(ckpt)}; " +
       s"heap before: ${heapMb()} MB")

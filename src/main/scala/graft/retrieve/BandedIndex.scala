@@ -148,6 +148,7 @@ final class TopK(k: Int) {
     s > sc(j) || (s == sc(j) && i < id(j))
 
   def offer(s: Double, i: Long): Unit = {
+    if (k <= 0) return // k = 0 is a legal reference config (retrieveSize 0 ⇒ empty base)
     if (size == k && !before(s, i, size - 1)) return
     var j = if (size < k) { size += 1; size - 1 } else k - 1
     while (j > 0 && before(s, i, j - 1)) {

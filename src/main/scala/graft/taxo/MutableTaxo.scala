@@ -190,8 +190,13 @@ class MutableTaxo extends Serializable {
     val distinct = subset.distinct
     // a singleton reduces to itself — skip the reachability walk entirely
     // (the commit stage calls this once per decision, and a full-graph BFS
-    // per one-element sup set made commit O(candidates × |taxo|))
-    if (distinct.sizeIs <= 1) return distinct
+    // per one-element sup set made commit O(candidates × |taxo|)). The
+    // membership check keeps the walk's NodeNotFound parity for stale ids.
+    if (distinct.sizeIs <= 1) {
+      for (n <- distinct if !containsNode(n))
+        throw new NodeNotFound(s"The node $n is not in the taxonomy.")
+      return distinct
+    }
     val current = mutable.LinkedHashSet(distinct: _*)
     val step: Long => Seq[Long] =
       if (reverse) getParents(_, labels) else getChildren(_, labels)
