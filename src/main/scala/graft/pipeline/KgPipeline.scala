@@ -197,9 +197,12 @@ object KgPipeline {
     * touches ships exactly the pairs each task needs — the history stays
     * distributed end to end, and driver memory no longer scales with the
     * slice (the round-2 bound this replaces collected it into a broadcast
-    * Map). The broadcast here is the candidate id list only. */
+    * Map). The join strategy for the mention list is left to AQE: forcing
+    * broadcast() here was itself a driver bound (a 10⁷-candidate list is
+    * a driver-side OOM as a broadcast; AQE picks broadcast from runtime
+    * stats whenever the list actually is small). */
   def candidatesWithPriors(candidates: DataFrame, scoredStore: DataFrame): DataFrame = {
-    val m = broadcast(candidates.select(col("mention")).distinct())
+    val m = candidates.select(col("mention")).distinct()
     val subSide = scoredStore.join(m, scoredStore("subLabel") === m("mention"))
       .select(col("mention"), col("subLabel"), col("supLabel"), col("p"))
     val supSide = scoredStore.join(m, scoredStore("supLabel") === m("mention"))
