@@ -308,8 +308,14 @@ class MutableTaxo extends Serializable {
     if (strict) { for (b <- baseReduced) { baseSubsumes ++= getAncestors(b); baseSubsumes += b } }
 
     val queue = mutable.Queue(top: _*)
+    // processed-guard: the reference BFS (taxonomy.py:444-458) re-enqueues
+    // a node once per path reaching it — O(#paths) work, exponential on
+    // stacked multi-parent diamonds. Its node/edge adds are idempotent, so
+    // skipping re-expansion produces the identical subgraph in O(V+E).
+    val processed = mutable.HashSet.empty[Long]
     while (queue.nonEmpty) {
       val node = queue.dequeue()
+      if (processed.add(node)) {
       subgraph.addNode(node, Option(getLabel(node)))
       if (!baseReduced.contains(node)) {
         // over-fanout probe runs from the SEED side: enumerating a
@@ -327,6 +333,7 @@ class MutableTaxo extends Serializable {
             queue.enqueue(sub)
           }
         }
+      }
       }
     }
     subgraph

@@ -144,6 +144,23 @@ class TaxoSpec extends AnyFunSuite {
     assert(emptyCapped.nodes.toSet == Set(0L))
   }
 
+  test("insertion search space is linear on stacked multi-parent diamonds") {
+    // 40 stacked diamonds: the reference BFS re-enqueues once per path
+    // (2^40 without the processed-guard — an effective hang); the guarded
+    // twin finishes instantly with the identical subgraph
+    val t = new MutableTaxo
+    t.addNode(100L, Some("top"))
+    for (i <- 1 to 40) {
+      val (prev, a, b, cur) = (100L + i - 1, 200L + i, 300L + i, 100L + i)
+      t.addNode(a, Some(s"a$i")); t.addNode(b, Some(s"b$i")); t.addNode(cur, Some(s"l$i"))
+      t.addEdge(a, prev, "new"); t.addEdge(b, prev, "new")
+      t.addEdge(cur, a, "new"); t.addEdge(cur, b, "new")
+    }
+    val sub = t.createInsertionSearchSpace(Seq(140L), cropTop = false, strict = false)
+    assert(sub.nodes.size == 1 + 3 * 40)
+    assert(sub.edges.size == 4 * 40)
+  }
+
   test("tree taxonomy enforces single parent") {
     val t = new TreeTaxo(0L)
     for ((id, l) <- Seq((0L, "Root"), (1L, "A"), (2L, "B"), (3L, "C"))) t.addNode(id, Some(l))
