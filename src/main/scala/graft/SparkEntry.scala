@@ -441,14 +441,18 @@ object SparkEntry {
          |  SELECT ns.label AS subclass, na.label AS superclass,
          |    CAST(1 AS BIGINT) AS labels, h.node, h.anc
          |  FROM hop2 h JOIN nodes ns ON h.node = ns.id JOIN nodes na ON h.anc = na.id),
+         |uppers AS (
+         |  SELECT id, label FROM nodes
+         |  WHERE id IN (SELECT DISTINCT dst FROM edges)
+         |  ORDER BY id LIMIT 10000),
          |negatives AS (
          |  SELECT subclass, superclass, CAST(0 AS BIGINT) AS labels, node, anc FROM (
          |    SELECT ns.label AS subclass, u.label AS superclass, n.id AS node, u.id AS anc,
          |      ROW_NUMBER() OVER (PARTITION BY n.id
          |        ORDER BY CAST(CONCAT('0x', SUBSTR(md5(n.id || ':' || u.id), 1, 15)) AS BIGINT) ASC,
          |                 u.id ASC) AS rn
-         |    FROM nodes n JOIN nodes ns ON n.id = ns.id, nodes u
-         |    WHERE u.id < 1000 AND u.id <> n.id
+         |    FROM nodes n JOIN nodes ns ON n.id = ns.id, uppers u
+         |    WHERE u.id <> n.id
          |      AND NOT EXISTS (SELECT 1 FROM closure c WHERE c.node = n.id AND c.anc = u.id))
          |  WHERE rn = 1)
          |SELECT subclass, superclass, labels, node, anc FROM positives

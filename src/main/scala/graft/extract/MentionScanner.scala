@@ -76,6 +76,14 @@ object MentionScanner {
     def token(id: Int): String = entries(id)
     def isStop(id: Int): Boolean = stops(id)
 
+    /** Intern from a plain String (overflow-spill re-intern of the
+      * in-flight previous token — off the per-occurrence hot path). */
+    def internString(s: String): Int = {
+      val sb = new java.lang.StringBuilder(s.length)
+      sb.append(s)
+      intern(sb)
+    }
+
     def intern(sb: java.lang.StringBuilder): Int = {
       if (n * 4 >= cap * 3) resize()
       var h = 0
@@ -164,9 +172,9 @@ object MentionScanner {
 
   /** Shared per-partition counting state: dict + bigram counter. */
   final class MentionCounts {
-    val dict = new TokenDict()
-    val bigrams = new LongCounter()
-    /** Emit (mention, count) rows. */
+    var dict = new TokenDict()
+    var bigrams = new LongCounter()
+    /** Emit (mention, count) rows (materialized — safe across reset()). */
     def iterator: Iterator[(String, Long)] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       bigrams.foreach { (key, cnt) =>
@@ -176,14 +184,27 @@ object MentionScanner {
       }
       buf.iterator
     }
+    /** Fresh dict + counter (mid-document overflow spill). */
+    def reset(): Unit = { dict = new TokenDict(); bigrams = new LongCounter() }
   }
 
   /** Counting sink: zero allocation per token occurrence on the hit path —
     * tokens intern into the dict, bigram occurrences increment a primitive
-    * counter keyed by the packed (prevId, tokId) pair. */
-  private final class CountingSink(state: MentionCounts) extends HtmlScanner.CharSink {
+    * counter keyed by the packed (prevId, tokId) pair.
+    *
+    * The state cap is enforced INSIDE the document too: the between-
+    * documents check alone let one pathological document (> maxEntries
+    * distinct bigrams) blow the counter before the flush ran. On overflow
+    * mid-document the partial counts drain through `onSpill` (the
+    * downstream sum-groupBy merges partials exactly), the dict + counter
+    * reset, and the in-flight previous token re-interns so the next bigram
+    * still forms — counter state never exceeds maxEntries. */
+  private final class CountingSink(state: MentionCounts, maxEntries: Int,
+                                   onSpill: Iterator[(String, Long)] => Unit)
+      extends HtmlScanner.CharSink {
     private val tok = new java.lang.StringBuilder(24)
     private var prevId = -1
+    var spilled = false
     override def accept(c0: Char): Unit = {
       val c = Character.toLowerCase(c0)
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
@@ -196,16 +217,29 @@ object MentionScanner {
         if (prevId >= 0 && !state.dict.isStop(prevId) && !state.dict.isStop(id))
           state.bigrams.add((prevId.toLong << 32) | (id.toLong & 0xffffffffL), 1L)
         prevId = id
+        if (state.bigrams.size >= maxEntries) {
+          spilled = true
+          val prevTok = state.dict.token(prevId)
+          onSpill(state.iterator)
+          state.reset()
+          prevId = state.dict.internString(prevTok)
+        }
       }
     }
     def finish(): Unit = { flushToken(); prevId = -1 }
   }
 
-  /** Fused extract→tokenize→count of one document into `state`. */
-  def countMentionsInto(html: String, state: MentionCounts): Unit = {
-    val sink = new CountingSink(state)
+  /** Fused extract→tokenize→count of one document into `state`; partial
+    * counts beyond `maxEntries` distinct bigrams spill through `onSpill`
+    * mid-document. Returns true if a spill happened (callers should drain
+    * accumulated rows before counting further documents). */
+  def countMentionsInto(html: String, state: MentionCounts,
+                        maxEntries: Int = Int.MaxValue,
+                        onSpill: Iterator[(String, Long)] => Unit = _ => ()): Boolean = {
+    val sink = new CountingSink(state, maxEntries, onSpill)
     HtmlScanner.extractTo(html, sink)
     sink.finish()
+    sink.spilled
   }
 
   /** Column form over raw html (binary or string). */

@@ -14,6 +14,13 @@ trait Embedder extends Serializable {
   /** Batch sentence embedding (reference emb_model, M1). */
   def embed(labels: Seq[String]): Array[Array[Float]]
   def embedOne(label: String): Array[Float] = embed(Seq(label)).head
+  /** Chunked batch embedding at the reference's batch size (demo.ipynb
+    * cell 8, batch_size 64): every pipeline hot path goes through this —
+    * with a real BERT-style embedder one model invocation per ≤64 labels
+    * is the contract, never one per row. */
+  def embedBatched(labels: Seq[String], batchSize: Int = 64): Array[Array[Float]] =
+    if (labels.isEmpty) Array.empty
+    else labels.grouped(batchSize).flatMap(g => embed(g)).toArray
 }
 
 trait Generator extends Serializable {

@@ -30,9 +30,20 @@ object TrainDataOps {
     * (descendant ≤ 2 hops, ancestor) label pairs; negatives = per node, the
     * md5-hash-minimal upper-level non-ancestor. Columns follow the reference
     * CSV header (Subclass, Superclass, labels). */
-  def subsData(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TaxoQueries.edges(spark, dir)
-    val nodes = labeledNodes(spark, dir)
+  def subsData(spark: SparkSession, dir: String): DataFrame =
+    subsDataFrom(TaxoQueries.edges(spark, dir), labeledNodes(spark, dir))
+
+  /** Graph-shaped core of T1 so the builder works on ANY taxonomy edge/node
+    * table, not just the fixture: the negative-candidate pool is the set of
+    * INTERNAL nodes (every node some edge points to — the reference's
+    * "upper levels"), derived from the graph itself rather than an id
+    * convention (the previous `id < 1000` was a fixture-shape assumption).
+    * The pool is explicitly bounded (`maxNegativePool`, id-ascending) —
+    * it feeds a per-node cross join, so an unbounded pool is a scale
+    * killer; 10⁴ uppers × broadcast keeps the join one broadcast-nested-
+    * loop over the node table. */
+  def subsDataFrom(edges: DataFrame, nodes: DataFrame,
+                   maxNegativePool: Int = 10000): DataFrame = {
     val oneHop = edges.select(col("src").as("node"), col("dst").as("anc"))
     val twoHop = edges.as("e1").join(edges.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("node"), col("e2.dst").as("anc"))
@@ -41,13 +52,16 @@ object TrainDataOps {
       .join(nodes.select(col("id").as("anc"), col("label").as("superclass")), Seq("anc"))
       .select(col("subclass"), col("superclass"), lit(1L).as("labels"),
         col("node"), col("anc"))
-    // negatives: candidate pool = upper levels (root/regions/nations);
+    // negatives: candidate pool = internal nodes (appear as an edge dst);
     // for each node pick the md5-minimal candidate that is NOT an ancestor
     val closure = GraphOps.ancestorClosure(edges)
-    val uppers = nodes.filter(col("id") < 1000).select(col("id").as("cand"), col("label").as("candLabel"))
+    val uppers = edges.select(col("dst").as("id")).distinct()
+      .join(nodes, Seq("id"))
+      .select(col("id").as("cand"), col("label").as("candLabel"))
+      .orderBy(col("cand")).limit(maxNegativePool)
     val closureR = closure.select(col("node").as("__cn"), col("anc").as("__ca"))
     val nonAnc = nodes.select(col("id").as("node"), col("label").as("subclass"))
-      .crossJoin(uppers)
+      .crossJoin(broadcast(uppers)) // pool is bounded ⇒ broadcast-nested-loop, never a shuffle
       .filter(col("node") =!= col("cand"))
       .join(closureR, col("node") === col("__cn") && col("cand") === col("__ca"), "left_anti")
     val w = Window.partitionBy(col("node"))

@@ -53,7 +53,13 @@ object KgPipeline {
       // decide-stage seed retrieval switches from exact VectorIndex search
       // (reference semantics, vector_index.py exhaustive=True) to banded
       // RHP-LSH (graft.retrieve.BandedIndex) above this snapshot size
-      annNodeThreshold: Int = 50000) extends Serializable
+      annNodeThreshold: Int = 50000,
+      // full nodes/edges snapshot every k rounds; other rounds write only
+      // the round's (purely additive) node/edge deltas — the per-round
+      // checkpoint cost tracks the delta, not the snapshot (a 2M-row
+      // coalesce(1) rewrite per round was 63 s of the §9b drive's wall).
+      // 0 disables compaction (deltas only; resume replays from the seed).
+      compactEvery: Int = 8) extends Serializable
 
   /** OLAP-domain seed taxonomy matching the synthetic corpus vocabulary. */
   def seedTaxo(): MutableTaxo = {
@@ -133,18 +139,26 @@ object KgPipeline {
         // bigrams exceed maxStateEntries (default 4M ≈ ~150 MB incl. the
         // interned dict) the partial counts flush as rows and the state
         // resets; the downstream sum-groupBy merges partials exactly.
-        // Real web text (unbounded bigram cardinality) stays memory-safe;
-        // the flush never fires on vocabulary-bounded corpora.
+        // The cap holds INSIDE a document too (countMentionsInto spills
+        // partial counts mid-document — one pathological page can't blow
+        // the counter), and a refill stops after a spilling document so
+        // spilled rows drain before more documents are consumed. Real web
+        // text (unbounded bigram cardinality) stays memory-safe; the flush
+        // never fires on vocabulary-bounded corpora.
         new Iterator[(String, Long)] {
           private var inner: Iterator[(String, Long)] = Iterator.empty
           private def refill(): Unit = {
             val state = new graft.extract.MentionScanner.MentionCounts()
-            while (it.hasNext && state.bigrams.size < maxStateEntries) {
+            val spilledRows = mutable.ArrayBuffer.empty[(String, Long)]
+            var spilled = false
+            while (it.hasNext && !spilled && state.bigrams.size < maxStateEntries) {
               val html = it.next()
               if (html != null && html.nonEmpty)
-                graft.extract.MentionScanner.countMentionsInto(html, state)
+                spilled = graft.extract.MentionScanner.countMentionsInto(
+                  html, state, maxStateEntries, rows => spilledRows ++= rows)
             }
-            inner = state.iterator
+            inner = if (spilledRows.isEmpty) state.iterator
+                    else spilledRows.iterator ++ state.iterator
           }
           def hasNext: Boolean = {
             while (!inner.hasNext && it.hasNext) refill()
@@ -218,7 +232,8 @@ object KgPipeline {
     * ([[candidatesWithPriors]]) — pass a null/absent slice as an empty
     * array, never the full history. */
   def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
-                  models: IconModels, cfg: PipelineConfig, round: Int): RoundResult = {
+                  models: IconModels, cfg: PipelineConfig, round: Int,
+                  embCache: graft.retrieve.SnapshotEmbeddings = null): RoundResult = {
     import spark.implicits._
     val sc = spark.sparkContext
     val bTaxo = sc.broadcast(taxo)
@@ -235,33 +250,47 @@ object KgPipeline {
       else cfg.icon
     val retrieve = cfg.retrieveSize
 
-    // taxonomy embeddings for the broadcast index (snapshot-scoped, R5).
-    // Adaptive: small taxonomies embed on the driver (one batched call
-    // beats a Spark job's scheduling latency); huge ones go distributed.
+    // taxonomy embeddings for the broadcast index (snapshot-scoped, R5),
+    // INCREMENTAL across rounds (R3 semantics, vector_index.py add/delete):
+    // only labels the snapshot gained since the cache's last sync are
+    // embedded — a round's index cost tracks the per-round mint delta, not
+    // the snapshot size. Adaptive: small deltas embed on the driver (one
+    // batched call beats a Spark job's scheduling latency); huge ones
+    // (first round over a resumed 10⁶-node snapshot) go distributed.
+    // All paths call the model through the batch-64 contract (M1).
+    val cache = if (embCache != null) embCache else
+      new graft.retrieve.SnapshotEmbeddings(models.emb.dim)
     val nodeIds = taxo.nodes.toArray
     val labels = nodeIds.map(taxo.getLabel)
-    val vecs: Array[Array[Float]] =
-      if (nodeIds.length <= 50000) models.emb.embed(labels.toSeq)
+    val tIdx = System.currentTimeMillis()
+    val vecs: Array[Array[Float]] = cache.sync(nodeIds, labels, missing =>
+      if (missing.length <= 50000) models.emb.embedBatched(missing)
       else {
-        val lbl = sc.broadcast(labels)
-        spark.range(0, nodeIds.length, 1, 32)
+        val lbl = sc.broadcast(missing.toArray)
+        spark.range(0, missing.length, 1, 32)
           .mapPartitions { it =>
             val emb = bModels.value.emb
             val idx = it.toArray
-            idx.iterator.zip(emb.embed(idx.map(i => lbl.value(i.toInt)).toSeq).iterator)
+            idx.iterator.zip(
+              emb.embedBatched(idx.map(i => lbl.value(i.toInt)).toSeq).iterator)
           }.collect().sortBy(_._1).map(_._2)
-      }
+      })
     // seed retrieval: exact index at reference scale, banded RHP-LSH above
     // the threshold — a 10⁶-node snapshot × 10⁶ candidates would otherwise
-    // be 10¹² exact dot products in this one stage (BandedIndex scaladoc)
+    // be 10¹² exact dot products in this one stage (BandedIndex scaladoc).
+    // RHP signatures come from the cache too (frozen-center policy with
+    // drift-triggered recenter, SnapshotEmbeddings scaladoc), so the banded
+    // rebuild is O(n) counting sort + O(delta·bits·dim) signature work.
     val index: graft.retrieve.SeedSearch =
       if (nodeIds.length <= cfg.annNodeThreshold) new VectorIndex(nodeIds, vecs)
       else {
-        val center = new Array[Double](if (vecs.isEmpty) 0 else vecs(0).length)
-        for (v <- vecs; i <- center.indices if i < v.length) center(i) += v(i)
-        for (i <- center.indices) center(i) /= math.max(1, vecs.length)
-        new graft.retrieve.BandedIndex(nodeIds, vecs, center)
+        val (center, sg0, sg1) = cache.signatures(nodeIds, vecs)
+        new graft.retrieve.BandedIndex(nodeIds, vecs, center, sg0, sg1)
       }
+    // evidence surface for the incremental index: rowsIn = snapshot size,
+    // rowsOut = labels embedded this round, scoredPairs = signatures built
+    val indexLineage = LineageRow(round, -1, "index_build", nodeIds.length,
+      cache.lastEmbedded, cache.lastSigned, System.currentTimeMillis() - tIdx)
     val bIndex = sc.broadcast(index)
 
     val hasPriors = candidates.columns.contains("priors")
@@ -282,12 +311,17 @@ object KgPipeline {
         val batch = it.toSeq
         for ((_, priors) <- batch; if priors != null)
           cache.importAll(priors.iterator.map(p => (p.subLabel, p.supLabel, p.p)))
-        val decisions = batch.map { case (label, _) =>
-          val base = index.search(m.emb.embedOne(label), retrieve)._2.toSeq
-          val d = IconTraversal.decide(snapshot, label, base, cache, iconCfg,
-            l => lexical.get(Tokenset.hash64(l)))
-          DecisionRow(d.label, d.eqv.map(_._1), d.eqv.map(_._2), d.sup, d.sub)
-        }
+        // candidate embeddings in ≤64-label model calls (M1 batch contract;
+        // one model invocation per row was a 64× inflation with a real
+        // encoder), then one decision per candidate against the snapshot
+        val queryVecs = m.emb.embedBatched(batch.map(_._1))
+        val decisions = batch.iterator.zip(queryVecs.iterator).map {
+          case ((label, _), qv) =>
+            val base = index.search(qv, retrieve)._2.toSeq
+            val d = IconTraversal.decide(snapshot, label, base, cache, iconCfg,
+              l => lexical.get(Tokenset.hash64(l)))
+            DecisionRow(d.label, d.eqv.map(_._1), d.eqv.map(_._2), d.sup, d.sub)
+        }.toVector
         val lineage = LineageRow(round, pid, "decide", batch.size, decisions.size,
           cache.pairsScored, System.currentTimeMillis() - t0)
         val scored = cache.export.map { case (a, b, p) => ScoredPair(a, b, p) }
@@ -302,7 +336,7 @@ object KgPipeline {
     val scoredDF = raw.flatMap(_._3).toDF("subLabel", "supLabel", "p")
       .groupBy("subLabel", "supLabel").agg(first("p").as("p"))
     val decisionsDS = raw.flatMap(_._1.iterator)
-    val lineageRows = raw.flatMap(_._2.iterator).collect().toSeq
+    val lineageRows = raw.flatMap(_._2.iterator).collect().toSeq :+ indexLineage
     RoundResult(decisionsDS, lineageRows, scoredDF, () => raw.unpersist())
   }
 
@@ -347,11 +381,13 @@ object KgPipeline {
 
   /** Stage 5: canonicalization — embedding near-dup pairs among this
     * round's new concepts + CC merge (min-id canonical). Returns the merge
-    * map (dupId -> canonicalId) and applies it to the taxonomy. */
+    * map (dupId -> canonicalId) plus the edges the merge re-pointed onto
+    * canonical nodes (the checkpoint's edge delta needs them), and applies
+    * the merge to the taxonomy. */
   def canonicalize(spark: SparkSession, taxo: MutableTaxo,
                    newConcepts: Seq[(String, Long)], models: IconModels,
-                   threshold: Double): Map[Long, Long] = {
-    if (newConcepts.size < 2) return Map.empty
+                   threshold: Double): (Map[Long, Long], Seq[(Long, Long, String)]) = {
+    if (newConcepts.size < 2) return (Map.empty, Nil)
     val merge: Map[Long, Long] =
       if (newConcepts.size <= 10000) canonicalizeLocal(newConcepts, models, threshold)
       else {
@@ -365,8 +401,13 @@ object KgPipeline {
           .repartition(spark.sparkContext.defaultParallelism)
           .as[(String, Long)]
           .mapPartitions { it =>
+            // batch-64 model contract (M1): one encoder invocation per
+            // ≤64-label chunk, never one per row
             val emb = bm.value.emb
-            it.map { case (label, id) => (id, emb.embedOne(label)) }
+            it.grouped(64).flatMap { chunk =>
+              chunk.iterator.zip(emb.embed(chunk.map(_._1)).iterator)
+                .map { case ((_, id), v) => (id, v) }
+            }
           }
           .toDF("vec_id", "embedding")
         // 256-bit/8-band signatures (32 sign bits per bucket key), NOT the
@@ -392,8 +433,7 @@ object KgPipeline {
         pairs.unpersist()
         out
       }
-    applyMerge(taxo, merge)
-    merge
+    (merge, applyMerge(taxo, merge))
   }
 
   /** Driver-side canonicalization twin for round-sized concept sets (the
@@ -425,19 +465,29 @@ object KgPipeline {
     ids.iterator.map(i => i -> find(i)).filter { case (a, b) => a != b }.toMap
   }
 
-  private def applyMerge(taxo: MutableTaxo, merge: Map[Long, Long]): Unit = {
+  /** Returns the edges actually added while re-pointing (for the round's
+    * edge-delta checkpoint — merges never remove pre-round state, so a
+    * round's net taxonomy change is purely additive). */
+  private def applyMerge(taxo: MutableTaxo,
+                         merge: Map[Long, Long]): Seq[(Long, Long, String)] = {
+    val added = mutable.ArrayBuffer.empty[(Long, Long, String)]
     for ((dup, canon) <- merge.toSeq.sortBy(_._1)) {
       // re-point dup's edges onto the canonical node, then drop dup
       for ((p, l) <- taxo.succ(dup).toSeq) {
-        try { if (!taxo.containsEdge(canon, p)) taxo.addEdge(canon, p, l) }
-        catch { case _: CycleException => }
+        try {
+          if (!taxo.containsEdge(canon, p) && taxo.addEdge(canon, p, l) == 0)
+            added += ((canon, p, l))
+        } catch { case _: CycleException => }
       }
       for ((c, l) <- taxo.pred(dup).toSeq) {
-        try { if (!taxo.containsEdge(c, canon)) taxo.addEdge(c, canon, l) }
-        catch { case _: CycleException => }
+        try {
+          if (!taxo.containsEdge(c, canon) && taxo.addEdge(c, canon, l) == 0)
+            added += ((c, canon, l))
+        } catch { case _: CycleException => }
       }
       taxo.removeNode(dup)
     }
+    added.toSeq
   }
 
   case class RunResult(taxo: MutableTaxo, triples: DataFrame, lineage: DataFrame,
@@ -459,20 +509,55 @@ object KgPipeline {
     import spark.implicits._
     Files.createDirectories(Paths.get(ckptDir))
 
-    // resume from the last complete round's snapshot, or start at the seed
+    // resume from the last complete round, or start at the seed. Round
+    // checkpoints are per-round DELTAS (rounds are purely additive: merges
+    // only ever remove same-round mints, so net change = added nodes +
+    // added edges) with a full snapshot every cfg.compactEvery rounds —
+    // resume loads the latest compaction at or before the resume point and
+    // replays the delta rounds after it.
     val resumeRound = lastCompleteRound(ckptDir)
     var taxo =
       if (resumeRound == 0) seedTaxo()
       else {
-        val nodes = spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/nodes")
-          .as[(Long, String)].collect().sortBy(_._1)
-        val edges = spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/edges")
-          .select(col("src"), col("dst"), col("label")).as[(Long, Long, String)].collect()
-        val t = new MutableTaxo
-        nodes.foreach { case (id, l) => t.addNode(id, Some(l)) }
-        edges.foreach { case (u, v, l) => t.addEdge(u, v, l) }
+        val baseRound = (resumeRound to 1 by -1)
+          .find(i => Files.exists(Paths.get(s"${roundDir(ckptDir, i)}/nodes")))
+          .getOrElse(0)
+        val t =
+          if (baseRound == 0) seedTaxo()
+          else {
+            val nodes = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/nodes")
+              .as[(Long, String)].collect().sortBy(_._1)
+            val edges = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/edges")
+              .select(col("src"), col("dst"), col("label"))
+              .as[(Long, Long, String)].collect().sortBy(e => (e._1, e._2))
+            val tt = new MutableTaxo
+            nodes.foreach { case (id, l) => tt.addNode(id, Some(l)) }
+            edges.foreach { case (u, v, l) => tt.addEdge(u, v, l) }
+            tt
+          }
+        for (i <- (baseRound + 1) to resumeRound) {
+          val rd = roundDir(ckptDir, i)
+          spark.read.parquet(s"$rd/nodes_delta").as[(Long, String)]
+            .collect().sortBy(_._1)
+            .foreach { case (id, l) => t.addNode(id, Some(l)) }
+          spark.read.parquet(s"$rd/edges_delta")
+            .select(col("src"), col("dst"), col("label")).as[(Long, Long, String)]
+            .collect().sortBy(e => (e._1, e._2))
+            .foreach { case (u, v, l) => t.addEdge(u, v, l) }
+        }
         t
       }
+    // incremental decide-index state; a resumed run restores the persisted
+    // RHP center so its banded probes are bit-identical to the uninterrupted
+    // run's (SnapshotEmbeddings scaladoc)
+    val embCache = new graft.retrieve.SnapshotEmbeddings(models.emb.dim)
+    if (resumeRound > 0) {
+      val cf = Paths.get(s"${roundDir(ckptDir, resumeRound)}/center.txt")
+      if (Files.exists(cf)) {
+        val lines = Files.readAllLines(cf).asScala
+        embCache.restoreCenter(lines.drop(1).map(_.toDouble).toArray, lines.head.toInt)
+      }
+    }
     // the scored-pairs memo is parquet-backed and stays distributed: it
     // grows without bound across rounds, so it is never collected whole —
     // each round broadcasts only the candidate-relevant slice
@@ -524,7 +609,7 @@ object KgPipeline {
       }
 
       val withPriors = timed("prior_slice")(candidatesWithPriors(fresh, scoredStore))
-      val result = timed("decide")(decideRound(spark, withPriors, taxo, models, cfg, r))
+      val result = timed("decide")(decideRound(spark, withPriors, taxo, models, cfg, r, embCache))
       allLineage ++= result.lineage
 
       // adaptive commit source (the §4.5 driver/distributed pattern): the
@@ -537,7 +622,8 @@ object KgPipeline {
       // 10⁶-candidate drive exercises this path, BENCH/BASELINE.md §9b).
       // Both paths feed identical label-sorted iterators to commitStream.
       val rd = roundDir(ckptDir, r)
-      val nDecisions = result.lineage.iterator.map(_.rowsOut).sum
+      val nDecisions = result.lineage.iterator
+        .filter(_.stage == "decide").map(_.rowsOut).sum
       val decisionsSorted: () => Iterator[DecisionRow] = timed("decide") {
         if (nDecisions <= 100000) {
           val sorted = result.decisions.collect().sortBy(_.label)
@@ -566,23 +652,43 @@ object KgPipeline {
           sameAs += ((l, taxo.getLabel(e), r))
       }
 
-      val merge = timed("canonicalize")(
+      val (merge, mergeAdded) = timed("canonicalize")(
         canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold))
       val mergedLabels = newConcepts.toMap.map(_.swap) // id -> label
       for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
         sameAs += ((dl, cl, r))
 
-      // 6. checkpoint (atomic via COMMIT marker written last). The scored
+      // 6. checkpoint (atomic via COMMIT marker written last). Taxonomy
+      // state checkpoints as the round's ADDITIVE delta (surviving minted
+      // nodes + surviving added edges — merges only remove same-round
+      // mints), with a full snapshot every cfg.compactEvery rounds; the
+      // per-round write cost tracks the delta, not the snapshot. The scored
       // store is accumulated distributed: old store ∪ (new pairs anti-joined
       // against it), written straight from the executors — the history never
-      // transits the driver. (No coalesce(1): at corpus scale the store is
-      // itself a big table; re-reading the written parquet also cuts the
-      // union lineage chain so rounds don't stack up a growing plan.)
+      // transits the driver. (No coalesce(1) there: at corpus scale the
+      // store is itself a big table; re-reading the written parquet also
+      // cuts the union lineage chain so rounds don't stack up a growing
+      // plan.)
       timed("checkpoint") {
-        taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
-        taxo.edges.toDF("src", "dst", "label")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
+        val nodeAdds = newConcepts.filterNot { case (_, id) => merge.contains(id) }
+        val edgeAdds = (delta.iterator.map(d => (d._1, d._2)) ++
+            mergeAdded.iterator.map(e => (e._1, e._2)))
+          .toSeq.distinct
+          .filter { case (u, v) => taxo.containsEdge(u, v) }
+          .map { case (u, v) => (u, v, taxo.succ(u)(v)) }
+        nodeAdds.map { case (l, id) => (id, l) }.toDF("id", "label")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes_delta")
+        edgeAdds.toDF("src", "dst", "label")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges_delta")
+        if (cfg.compactEvery > 0 && r % cfg.compactEvery == 0) {
+          // compaction: partitioned full-snapshot write (the old per-round
+          // coalesce(1) rewrite was a single-task serial term at 2M nodes)
+          val nParts = math.max(1, taxo.numberOfNodes / 500000)
+          taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
+            .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
+          taxo.edges.toDF("src", "dst", "label")
+            .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
+        }
         val freshPairs = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
         scoredStore.union(freshPairs)
           .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
@@ -595,6 +701,12 @@ object KgPipeline {
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/deltas")
         sameAs.toSeq.toDF("a", "b", "round")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/sameas")
+        // the decide index's RHP center (dim doubles) — resumed banded
+        // probes must hash into the same buckets as the original run's
+        for (c <- embCache.currentCenter)
+          Files.write(Paths.get(s"$rd/center.txt"),
+            (embCache.centerSnapshotSize.toString +: c.map(_.toString).toSeq)
+              .mkString("\n").getBytes("UTF-8"))
         Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
       }
       // crash injection for the kill+resume drive: hard-halt (no cleanup,

@@ -23,41 +23,22 @@ import graft.functions.VectorExprs
   * Queries landing in empty buckets return fewer than k seeds (possibly
   * none) — the traversal handles any base set; this is the documented
   * approximation at scale, not an error path.
+  *
+  * Signatures may be passed in precomputed (`sig0`/`sig1`) — the pipeline's
+  * per-round incremental index path (graft.retrieve.SnapshotEmbeddings)
+  * caches them across rounds so a round's index build costs O(n) counting
+  * sort plus O(delta·bits·dim) signature work for the round's minted
+  * concepts, not O(n·bits·dim) for the whole snapshot.
   */
 class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
-                  center: Array[Double]) extends SeedSearch with Serializable {
+                  center: Array[Double],
+                  sig0In: Array[Long] = null, sig1In: Array[Long] = null)
+    extends SeedSearch with Serializable {
   require(ids.length == vectors.length)
   val dim: Int = if (vectors.isEmpty) 0 else vectors(0).length
   private val n = ids.length
 
-  private val Bits = 128
-  private val Bands = 8
-  private val Rows = 16 // 2^16 buckets per band; counting sort below
-  private val Buckets = 1 << Rows
-
-  // ±1 planes, deterministic from the shared rhpSign family; recomputed on
-  // each executor after broadcast deserialization (64 KB, @transient lazy)
-  @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(Bits, dim)((b, i) => VectorExprs.rhpSign(b, i))
-
-  /** Two packed sign words (bits 0-63, 64-127) for one vector. */
-  private def signature(v: Array[Float]): (Long, Long) = {
-    val x = new Array[Double](dim)
-    var i = 0
-    val m = math.min(v.length, dim)
-    while (i < m) { x(i) = v(i).toDouble - center(i); i += 1 }
-    var w0 = 0L; var w1 = 0L
-    var b = 0
-    while (b < Bits) {
-      val p = planes(b)
-      var s = 0.0
-      var j = 0
-      while (j < dim) { s += x(j) * p(j); j += 1 }
-      if (s >= 0) { if (b < 64) w0 |= (1L << b) else w1 |= (1L << (b - 64)) }
-      b += 1
-    }
-    (w0, w1)
-  }
+  import BandedIndex.{Bits, Bands, Rows, Buckets}
 
   private def bandBucket(w0: Long, w1: Long, band: Int): Int = {
     val bit = band * Rows
@@ -70,13 +51,15 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
   private val starts: Array[Array[Int]] = Array.ofDim[Int](Bands, Buckets + 1)
   private val members: Array[Array[Int]] = Array.ofDim[Int](Bands, n)
   locally {
-    val sig0 = new Array[Long](n)
-    val sig1 = new Array[Long](n)
-    // signature build is the O(n·bits·dim) cost of the index — parallel
-    // over the common pool (driver-side, once per round)
-    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
-      val (a, b) = signature(vectors(i))
-      sig0(i) = a; sig1(i) = b
+    val sig0 = if (sig0In != null) sig0In else new Array[Long](n)
+    val sig1 = if (sig1In != null) sig1In else new Array[Long](n)
+    if (sig0In == null) {
+      // signature build is the O(n·bits·dim) cost of the index — parallel
+      // over the common pool (driver-side, once per round)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val (a, b) = BandedIndex.signature(vectors(i), center, dim)
+        sig0(i) = a; sig1(i) = b
+      }
     }
     var band = 0
     while (band < Bands) {
@@ -97,6 +80,9 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
     }
   }
 
+  // query-side signature needs the center after broadcast deserialization
+  private val centerKept: Array[Double] = center
+
   private def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
@@ -108,7 +94,7 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
   /** Banded probe + exact inner-product rerank; (score desc, id asc), at
     * most k results, possibly fewer (empty buckets). */
   def search(query: Array[Float], k: Int): (Array[Double], Array[Long]) = {
-    val (w0, w1) = signature(query)
+    val (w0, w1) = BandedIndex.signature(query, centerKept, dim)
     val cand = new java.util.HashSet[Integer]()
     var band = 0
     while (band < Bands) {
@@ -126,6 +112,44 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
       top.offer(dot(query, vectors(i)), ids(i))
     }
     top.result()
+  }
+}
+
+object BandedIndex {
+  val Bits = 128
+  val Bands = 8
+  val Rows = 16 // 2^16 buckets per band; counting sort in the constructor
+  val Buckets: Int = 1 << Rows
+
+  // ±1 planes, deterministic from the shared rhpSign family, memoized per
+  // dim (the plane table is ~64 KB at dim 64; instances and the incremental
+  // cache share one copy per JVM)
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def planes(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim,
+      d => Array.tabulate(Bits, d)((b, i) => VectorExprs.rhpSign(b, i)))
+
+  /** Two packed sign words (bits 0-63, 64-127) for one centered vector —
+    * the signature function shared by index build, query probe, and the
+    * cross-round signature cache. */
+  def signature(v: Array[Float], center: Array[Double], dim: Int): (Long, Long) = {
+    val pl = planes(dim)
+    val x = new Array[Double](dim)
+    var i = 0
+    val m = math.min(v.length, dim)
+    while (i < m) { x(i) = v(i).toDouble - center(i); i += 1 }
+    var w0 = 0L; var w1 = 0L
+    var b = 0
+    while (b < Bits) {
+      val p = pl(b)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += x(j) * p(j); j += 1 }
+      if (s >= 0) { if (b < 64) w0 |= (1L << b) else w1 |= (1L << (b - 64)) }
+      b += 1
+    }
+    (w0, w1)
   }
 }
 

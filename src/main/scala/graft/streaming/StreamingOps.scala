@@ -115,19 +115,36 @@ object StreamingOps {
     * session when > gap since the user's previous event; same (ts,
     * event_id) ordering; same 1-based per-user numbering). Sessions are
     * emitted when closed by a newer event or by the event-time timeout
-    * once the watermark passes session_end + gap — state is bounded by
-    * the number of concurrently-open sessions, never by history. */
+    * once the watermark passes session_end + gap.
+    *
+    * A timed-out session leaves a TOMBSTONE (n = 0, carrying the last
+    * emitted seq) rather than removing the state: per-user session
+    * numbering is global history in the batch twin, and `state.remove()`
+    * restarted the user's next session at seq 1 (caught by the
+    * restart-resumption test — invisible in single-drain runs, where
+    * timeouts only ever fire in the final no-data batch). Open-session
+    * state is bounded by concurrently-open sessions; tombstones are four
+    * longs per user ever seen — the same cardinality the batch groupBy
+    * shuffles, and the price of batch-parity numbering on an unbounded
+    * stream. */
   def sessionFn(gapMicros: Long)(user: Long, rows: Iterator[SessEvent],
                                  state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
     def emit(s: SessState) = SessOut(user, s.seq, s.n, toTs(s.start), toTs(s.end))
     if (!rows.hasNext && state.hasTimedOut) {
       val s = state.get
-      state.remove()
-      Iterator(emit(s))
+      if (s.n == 0L) Iterator.empty // spurious timeout on a tombstone
+      else {
+        state.update(SessState(s.end, s.end, 0L, s.seq)) // tombstone; no new timeout
+        Iterator(emit(s))
+      }
     } else {
       val evs = rows.toArray.sortBy(e => (toMicros(e.ts), e.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
-      var cur = state.getOption
+      var baseSeq = 0L
+      var cur = state.getOption match {
+        case Some(s) if s.n == 0L => baseSeq = s.seq; None // resume numbering after a timeout
+        case other => other
+      }
       for (e <- evs) {
         val t = toMicros(e.ts)
         cur match {
@@ -137,7 +154,7 @@ object StreamingOps {
             out += emit(s)
             cur = Some(SessState(t, t, 1L, s.seq + 1))
           case None =>
-            cur = Some(SessState(t, t, 1L, 1L))
+            cur = Some(SessState(t, t, 1L, baseSeq + 1))
         }
       }
       for (s <- cur) {
@@ -148,14 +165,10 @@ object StreamingOps {
     }
   }
 
-  /** Streaming gap-sessionization: watermarked event stream →
-    * groupByKey(user) → flatMapGroupsWithState(EventTimeTimeout). A
-    * sentinel user (user_id < 0) with a far-future timestamp flushes the
-    * watermark on finite inputs; its own session is filtered by readers. */
-  def streamingSessions(spark: SparkSession, inputDir: String,
-                        schema: org.apache.spark.sql.types.StructType,
-                        queryName: String = "sessions_stream",
-                        gapMinutes: Int = 30): StreamingQuery = {
+  /** Shared watermarked sessionization plan for the streaming twins. */
+  private def sessionsPlan(spark: SparkSession, inputDir: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           gapMinutes: Int): org.apache.spark.sql.Dataset[SessOut] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     spark.readStream.schema(schema).parquet(inputDir)
@@ -167,11 +180,42 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionFn(gapMinutes * 60000000L))
+  }
+
+  /** Streaming gap-sessionization: watermarked event stream →
+    * groupByKey(user) → flatMapGroupsWithState(EventTimeTimeout). A
+    * sentinel user (user_id < 0) with a far-future timestamp flushes the
+    * watermark on finite inputs; its own session is filtered by readers. */
+  def streamingSessions(spark: SparkSession, inputDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        queryName: String = "sessions_stream",
+                        gapMinutes: Int = 30): StreamingQuery =
+    sessionsPlan(spark, inputDir, schema, gapMinutes)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
+
+  /** Production-sink variant of [[streamingSessions]]: the same stateful
+    * plan written to a parquet FILE sink with a checkpointLocation. Each
+    * call drains the event files that have arrived so far (AvailableNow)
+    * and terminates; re-calling with the same checkpoint resumes
+    * exactly-once — file-source offsets, the watermark, AND the open-
+    * session `GroupState` all live in the checkpoint, so sessions left
+    * open by one drain are closed correctly by the next (or by its
+    * watermark timeout). Mid-stream restart is the normal operating mode
+    * of an unbounded event feed, not a recovery special case. */
+  def streamingSessionsToParquet(spark: SparkSession, inputDir: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 outDir: String, checkpointDir: String,
+                                 gapMinutes: Int = 30): StreamingQuery =
+    sessionsPlan(spark, inputDir, schema, gapMinutes)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Streaming hourly event aggregation with a watermark (append mode). */
   def streamingEventAgg(spark: SparkSession, inputDir: String,

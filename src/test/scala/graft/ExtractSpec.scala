@@ -58,6 +58,41 @@ class ExtractSpec extends SparkSpecBase {
     assert(fused == composed)
   }
 
+  test("intra-document state cap: a pathological page spills mid-document, counts stay exact") {
+    import spark.implicits._
+    import graft.extract.MentionScanner
+    // ONE document with ~6k distinct bigrams against a 512-entry cap: the
+    // between-documents check alone never fires (round-3 gap) — the spill
+    // must trigger inside the document and the merged partials must equal
+    // the uncapped counts
+    val words = (0 until 6000).map(i => s"tok$i")
+    val html = s"<html><body>${words.mkString(" ")} ${words.take(100).mkString(" ")}</body></html>"
+    val state = new MentionScanner.MentionCounts()
+    var spills = 0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val spilled = MentionScanner.countMentionsInto(html, state, 512,
+      it => { spills += 1; rows ++= it; assert(state.bigrams.size <= 512) })
+    assert(spilled && spills >= 10, s"spills=$spills")
+    assert(state.bigrams.size < 512, "counter exceeded the cap after final doc")
+    val merged = (rows ++ state.iterator).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val uncapped = {
+      val s = new MentionScanner.MentionCounts()
+      MentionScanner.countMentionsInto(html, s)
+      s.iterator.toMap
+    }
+    assert(merged == uncapped)
+    // engine surface: capped distributed extraction equals the relational plan
+    val df = Seq(html).toDF("html")
+    val capped = graft.pipeline.KgPipeline
+      .extractMentionsFromHtml(df, "html", 1L, maxStateEntries = 512)
+      .as[(String, Long)].collect().toMap
+    val relational = graft.pipeline.KgPipeline
+      .extractMentions(df.select(HtmlExtract.extract(col("html")).as("text")), "text", 1L)
+      .as[(String, Long)].collect().toMap
+    assert(capped == relational)
+  }
+
   test("extracted text equals the generator's golden text column") {
     import spark.implicits._
     val web = WebtextGen.generate(spark, 100, 4)

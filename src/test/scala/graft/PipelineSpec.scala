@@ -1,10 +1,29 @@
 package graft
 
+import graft.models.{Embedder, HashNgramEmbedder}
 import graft.pipeline.KgPipeline
 import graft.webtext.WebtextGen
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
+
+/** Call-counting embedder wrapper: verifies the M1 batch contract (one
+  * model invocation per ≤64-label chunk, never one per row). Counters live
+  * in the companion so executor-side copies (same JVM under local[*])
+  * still increment them. */
+class CountingEmbedder(inner: Embedder) extends Embedder {
+  def dim: Int = inner.dim
+  def embed(labels: Seq[String]): Array[Array[Float]] = {
+    CountingEmbedder.calls.incrementAndGet()
+    CountingEmbedder.labels.addAndGet(labels.size)
+    inner.embed(labels)
+  }
+}
+object CountingEmbedder {
+  val calls = new java.util.concurrent.atomic.AtomicLong
+  val labels = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = { calls.set(0); labels.set(0) }
+}
 
 /** End-to-end KG pipeline: extract→link→insert over the synthetic webtext
   * corpus; determinism across parallelism; resume-from-checkpoint equality
@@ -99,6 +118,90 @@ class PipelineSpec extends SparkSpecBase {
         .as[(String, String, String, Int, String)].collect().sortBy(r => r.toString)
     assert(rows(rResumed.triples).toSeq == rows(rFull.triples).toSeq)
     assert(rResumed.roundsRun == 1) // only round 2 re-ran
+  }
+
+  test("decide stage embeds through the batch-64 model contract (M1)") {
+    import spark.implicits._
+    val taxo = KgPipeline.seedTaxo()
+    val models = KgPipeline.domainModels()
+      .copy(emb = new CountingEmbedder(new HashNgramEmbedder(64)))
+    val cands = (1 to 200).map(i => (s"cand$i label", 5L))
+      .toDF("mention", "freq").repartition(1)
+    CountingEmbedder.reset()
+    val res = KgPipeline.decideRound(spark, cands, taxo, models,
+      KgPipeline.PipelineConfig(), 1)
+    res.release()
+    val calls = CountingEmbedder.calls.get()
+    val labs = CountingEmbedder.labels.get()
+    // all 200 candidates + the snapshot were embedded...
+    assert(labs >= 200L + taxo.numberOfNodes, s"labels=$labs")
+    // ...but in ≤64-label chunks: ceil(200/64) + 1 snapshot call (+ noise),
+    // NOT one call per candidate (the round-3 embedOne-per-row bug)
+    assert(calls <= 8, s"embedder invoked $calls times for $labs labels")
+  }
+
+  test("distributed canonicalize embeds in ≤64-label chunks (M1)") {
+    val n = 12000 // > the 10k driver-path bound ⇒ Spark path
+    val taxo = new graft.taxo.MutableTaxo
+    val concepts = (0 until n).map(i => (s"alpha$i beta${i * 7} gamma${i * 13}", 100000L + i))
+    concepts.foreach { case (l, id) => taxo.addNode(id, Some(l)) }
+    val models = KgPipeline.domainModels()
+      .copy(emb = new CountingEmbedder(new HashNgramEmbedder(64)))
+    CountingEmbedder.reset()
+    KgPipeline.canonicalize(spark, taxo, concepts, models, 0.999)
+    val calls = CountingEmbedder.calls.get()
+    val labs = CountingEmbedder.labels.get()
+    assert(labs >= n, s"labels=$labs")
+    assert(labs.toDouble / calls >= 32, s"$calls calls for $labs labels — per-row embedding?")
+  }
+
+  test("decide index is incremental across rounds (R3/R5): round 2 embeds only the delta") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("kginc").toString
+    val res = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), ckpt)
+    val idx = res.lineage.filter(col("stage") === "index_build")
+      .select("round", "rowsIn", "rowsOut")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(idx.length == 2)
+    val (_, in1, out1) = idx(0)
+    val (_, in2, out2) = idx(1)
+    assert(out1 == in1, "cold cache must embed the whole snapshot once")
+    assert(in2 > in1, "round 1 should have minted concepts")
+    // round 2's missing set is exactly the concepts round 1 minted (merged
+    // dups never entered the cache), so embedded count == snapshot growth
+    assert(out2 == in2 - in1,
+      s"round 2 embedded $out2 of $in2 — expected only the ${in2 - in1}-node delta")
+  }
+
+  test("delta checkpoints + compaction: resume matches the uninterrupted run bit-for-bit") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "src_round", "lineage")
+        .as[(String, String, String, Int, String)].collect().sortBy(_.toString).toSeq
+    val c3 = cfg(3).copy(compactEvery = 2) // rounds 1,3 delta-only; round 2 full snapshot
+    val full = Files.createTempDirectory("kgc_full").toString
+    val rFull = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), c3, full)
+    // resume across a delta-only round (base = seed, replay round-1 delta)
+    val p1 = Files.createTempDirectory("kgc_p1").toString
+    KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(),
+      c3.copy(rounds = 1), p1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$p1/round=1/nodes")),
+      "round 1 must checkpoint a delta, not a full snapshot")
+    assert(Files.exists(java.nio.file.Paths.get(s"$p1/round=1/nodes_delta")))
+    val r1 = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), c3, p1)
+    assert(rows(r1.triples) == rows(rFull.triples))
+    // resume from a compaction round (base = round-2 full snapshot)
+    val p2 = Files.createTempDirectory("kgc_p2").toString
+    KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(),
+      c3.copy(rounds = 2), p2)
+    assert(Files.exists(java.nio.file.Paths.get(s"$p2/round=2/nodes")),
+      "round 2 must have compacted a full snapshot")
+    val r2 = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), c3, p2)
+    assert(rows(r2.triples) == rows(rFull.triples))
   }
 
   test("inserted concepts carry edges to existing taxonomy nodes only after cycle screening") {

@@ -113,4 +113,54 @@ class RetrieveSpec extends AnyFunSuite {
     assert(r1._2.length <= 5)
     assert(r1._1.toSeq == r2._1.toSeq && r1._2.toSeq == r2._2.toSeq)
   }
+
+  test("BandedIndex with precomputed signatures searches identically to self-computed") {
+    val ids = (0L until 800L).toArray
+    val vs = ids.map(vec(_))
+    val center = Array.tabulate(64)(i => math.sin(i) * 0.01)
+    val self = new BandedIndex(ids, vs, center)
+    val sg0 = new Array[Long](ids.length)
+    val sg1 = new Array[Long](ids.length)
+    for (i <- ids.indices) {
+      val (a, b) = BandedIndex.signature(vs(i), center, 64)
+      sg0(i) = a; sg1(i) = b
+    }
+    val pre = new BandedIndex(ids, vs, center, sg0, sg1)
+    for (seed <- Seq(7L, 99L, 123456L, 777L)) {
+      val q = vec(seed)
+      assert(self.search(q, 8)._2.toSeq == pre.search(q, 8)._2.toSeq)
+    }
+  }
+
+  test("SnapshotEmbeddings embeds only the delta and drops gone ids") {
+    val cache = new graft.retrieve.SnapshotEmbeddings(8)
+    def embed(ls: Seq[String]): Array[Array[Float]] =
+      ls.map(l => Array.tabulate(8)(i => (l.hashCode * (i + 1)).toFloat)).toArray
+    val ids1 = Array(1L, 2L, 3L)
+    val v1 = cache.sync(ids1, Array("a", "b", "c"), embed)
+    assert(cache.lastEmbedded == 3 && v1.length == 3)
+    // second sync: node 2 gone, node 4 added — only "d" is embedded
+    val ids2 = Array(1L, 3L, 4L)
+    val v2 = cache.sync(ids2, Array("a", "c", "d"), ls => {
+      assert(ls == Seq("d"), s"re-embedded $ls")
+      embed(ls)
+    })
+    assert(cache.lastEmbedded == 1)
+    assert(v2(0).toSeq == v1(0).toSeq && v2(1).toSeq == v1(2).toSeq)
+    // signatures: cold pass signs everything, warm pass signs nothing
+    cache.signatures(ids2, v2)
+    assert(cache.lastSigned == 3)
+    val (c1, a1, b1) = cache.signatures(ids2, v2)
+    assert(cache.lastSigned == 0)
+    // a new id under a stable center signs only itself, identically to a
+    // from-scratch computation
+    val ids3 = Array(1L, 3L, 4L, 5L)
+    val v3 = cache.sync(ids3, Array("a", "c", "d", "e"), embed)
+    val (c2, a2, b2) = cache.signatures(ids3, v3)
+    assert(cache.lastSigned == 1)
+    assert(c2.toSeq == c1.toSeq) // within drift ratio: center unchanged
+    assert(a2.take(3).toSeq == a1.toSeq && b2.take(3).toSeq == b1.toSeq)
+    val (ea, eb) = BandedIndex.signature(v3(3), c2, 8)
+    assert(a2(3) == ea && b2(3) == eb)
+  }
 }

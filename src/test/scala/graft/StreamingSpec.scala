@@ -127,6 +127,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("sessions parquet sink: mid-stream restart resumes open-session state exactly") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("sess_sink_in").toString
+    val outDir = Files.createTempDirectory("sess_sink_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("sess_sink_ck").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id")).persist()
+    // split the feed at its temporal midpoint: sessions spanning the cut
+    // are left OPEN in the checkpointed GroupState by drain 1 and must be
+    // continued (or closed) correctly by drain 2 after a full query restart
+    val (tMin, tMax) = events.agg(min("ts"), max("ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    val cut = new java.sql.Timestamp((tMin.getTime + tMax.getTime) / 2)
+    def drain(): Unit = {
+      val q = StreamingOps.streamingSessionsToParquet(spark, inDir,
+        events.schema, outDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    events.filter(col("ts") < lit(cut)).coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    events.filter(col("ts") >= lit(cut)).coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    drain() // no-new-data restart: exactly-once, no re-emit
+    // sentinel advances the watermark a year: every open session times out
+    val flushTs = new java.sql.Timestamp(tMax.getTime + 365L * 86400 * 1000)
+    Seq((-1L, flushTs, -1L)).toDF("event_id", "ts", "user_id")
+      .select(events.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain()
+    val streamed = spark.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_seq", "n_events", "session_start", "session_end")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    val batch = graft.ops.EventOps.sessionize(events)
+      .select(col("user_id").cast("long"), col("session_seq").cast("long"),
+        col("n_events").cast("long"), col("session_start"), col("session_end"))
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    events.unpersist()
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly event agg produces windows under watermark") {
     // readStream needs a directory, not a single parquet file
     val dir = Files.createTempDirectory("stream_ev").toString
