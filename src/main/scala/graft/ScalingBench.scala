@@ -53,10 +53,12 @@ object ScalingBench {
     val rounds = if (args.length > 2) args(2).toInt else 1
     val job = if (args.length > 3) args(3) else "pipeline"
 
-    // ~40k pages (~14 MB) per file: file COUNT is a serial planning cost
+    // ~80k pages (~28 MB) per file: file COUNT is a serial planning cost
     // (driver-side listing + footer reads — measured ~16 s of the wall at
-    // 16k files / 32M pages, flattening the 4-vs-16-core ratio)
-    val corpusParts = math.max(32, (pages / 40000L).toInt)
+    // 16k files / 32M pages, flattening the 4-vs-16-core ratio); 64M pages
+    // at 40k/file doubled the listing term, so files are sized to hold the
+    // count at ~800 regardless of corpus scale
+    val corpusParts = math.max(32, (pages / 80000L).toInt)
     val corpusPath = s"/tmp/kgbench_corpus_${pages}_p$corpusParts"
     locally {
       val s = session(32, smallFiles = job != "pipeline")
