@@ -227,7 +227,7 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     ragEligibleCache = None
     if (config.method == "rag" || config.selectionFeatures.contains("siblings")) {
       val ns = working.nodes.toArray
-      index = new VectorIndex(ns, models.emb.embed(ns.map(working.getLabel).toSeq))
+      index = new VectorIndex(ns, models.emb.embedBatched(ns.map(working.getLabel).toSeq))
     }
     // category_move.py:398-399: the eligibility set is immutable iff the
     // taxonomy is (do_update=False) -- cache it once for the whole run

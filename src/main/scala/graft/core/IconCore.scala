@@ -279,7 +279,7 @@ class IconEngine(val models: IconModels, var config: IconConfig) extends Seriali
 
   def buildIndex(taxo: MutableTaxo): Unit = {
     val ns = taxo.nodes.toArray
-    val vecs = models.emb.embed(ns.map(taxo.getLabel).toSeq)
+    val vecs = models.emb.embedBatched(ns.map(taxo.getLabel).toSeq)
     index = new VectorIndex(ns, vecs)
   }
 

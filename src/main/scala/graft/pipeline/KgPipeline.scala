@@ -443,7 +443,7 @@ object KgPipeline {
   def canonicalizeLocal(newConcepts: Seq[(String, Long)],
                         models: IconModels, threshold: Double): Map[Long, Long] = {
     val ids = newConcepts.map(_._2).toArray
-    val emb = models.emb.embed(newConcepts.map(_._1))
+    val emb = models.emb.embedBatched(newConcepts.map(_._1))
     val parent = mutable.HashMap(ids.map(i => i -> i): _*)
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
     def union(a: Long, b: Long): Unit = {

@@ -97,6 +97,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(t1 == tripleSet(r2.triples), "ANN decide path must be deterministic")
   }
 
+  test("ANN decide path resume: persisted RHP center keeps resumed probes identical") {
+    import spark.implicits._
+    // annNodeThreshold below the seed size ⇒ BandedIndex from round 1; the
+    // banded probe hashes against the cached center, which is persisted in
+    // the checkpoint — a resumed run must NOT recompute a different center
+    // from its (larger) resume-time snapshot and probe different buckets
+    val annCfg = cfg(2).copy(annNodeThreshold = 10)
+    val full = Files.createTempDirectory("kgannfull").toString
+    val part = Files.createTempDirectory("kgannpart").toString
+    val rFull = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), annCfg, full)
+    KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), annCfg.copy(rounds = 1), part)
+    assert(Files.exists(java.nio.file.Paths.get(s"$part/round=1/center.txt")),
+      "banded-path checkpoint must persist the RHP center")
+    val rResumed = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), annCfg, part)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "src_round", "lineage")
+        .as[(String, String, String, Int, String)].collect().sortBy(_.toString).toSeq
+    assert(rows(rResumed.triples) == rows(rFull.triples))
+  }
+
   test("resume from round-1 checkpoint reproduces the full 2-round output") {
     val full = Files.createTempDirectory("kgfull").toString
     val part = Files.createTempDirectory("kgpart").toString
