@@ -676,10 +676,16 @@ object KgPipeline {
           .toSeq.distinct
           .filter { case (u, v) => taxo.containsEdge(u, v) }
           .map { case (u, v) => (u, v, taxo.succ(u)(v)) }
-        nodeAdds.map { case (l, id) => (id, l) }.toDF("id", "label")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes_delta")
-        edgeAdds.toDF("src", "dst", "label")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges_delta")
+        // adaptive file layout: one file for round-sized deltas, natural
+        // parallelism for mint-heavy rounds (a 2M-row coalesce(1) is a
+        // single-task serial write — the §9b drive's delta IS the snapshot)
+        def writeAdaptive(df: DataFrame, n: Long, path: String): Unit =
+          (if (n <= 100000) df.coalesce(1) else df)
+            .write.mode(SaveMode.Overwrite).parquet(path)
+        writeAdaptive(nodeAdds.map { case (l, id) => (id, l) }.toDF("id", "label"),
+          nodeAdds.size, s"$rd/nodes_delta")
+        writeAdaptive(edgeAdds.toDF("src", "dst", "label"),
+          edgeAdds.size, s"$rd/edges_delta")
         if (cfg.compactEvery > 0 && r % cfg.compactEvery == 0) {
           // compaction: partitioned full-snapshot write (the old per-round
           // coalesce(1) rewrite was a single-task serial term at 2M nodes)
@@ -695,12 +701,13 @@ object KgPipeline {
         result.release()
         scoredStore = spark.read.parquet(s"$rd/scored_pairs")
         result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
-        // cumulative provenance (small — bounded by inserted edges): lets a
-        // resumed run reconstruct src_round exactly
-        allDeltas.toSeq.toDF("src", "dst", "label", "round")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/deltas")
-        sameAs.toSeq.toDF("a", "b", "round")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/sameas")
+        // cumulative provenance (bounded by inserted edges — adaptive too:
+        // at the §9b drive it reaches 2M rows): lets a resumed run
+        // reconstruct src_round exactly
+        writeAdaptive(allDeltas.toSeq.toDF("src", "dst", "label", "round"),
+          allDeltas.size, s"$rd/deltas")
+        writeAdaptive(sameAs.toSeq.toDF("a", "b", "round"),
+          sameAs.size, s"$rd/sameas")
         // the decide index's RHP center (dim doubles) — resumed banded
         // probes must hash into the same buckets as the original run's
         for (c <- embCache.currentCenter)
