@@ -217,7 +217,9 @@ object MentionScanner {
         if (prevId >= 0 && !state.dict.isStop(prevId) && !state.dict.isStop(id))
           state.bigrams.add((prevId.toLong << 32) | (id.toLong & 0xffffffffL), 1L)
         prevId = id
-        if (state.bigrams.size >= maxEntries) {
+        // dict size is capped too: a document of distinct stopword-adjacent
+        // tokens never adds a bigram but still interns every token
+        if (state.bigrams.size >= maxEntries || state.dict.size >= maxEntries) {
           spilled = true
           val prevTok = state.dict.token(prevId)
           onSpill(state.iterator)

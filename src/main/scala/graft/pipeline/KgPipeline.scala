@@ -151,7 +151,8 @@ object KgPipeline {
             val state = new graft.extract.MentionScanner.MentionCounts()
             val spilledRows = mutable.ArrayBuffer.empty[(String, Long)]
             var spilled = false
-            while (it.hasNext && !spilled && state.bigrams.size < maxStateEntries) {
+            while (it.hasNext && !spilled && state.bigrams.size < maxStateEntries &&
+                   state.dict.size < maxStateEntries) {
               val html = it.next()
               if (html != null && html.nonEmpty)
                 spilled = graft.extract.MentionScanner.countMentionsInto(

@@ -93,6 +93,23 @@ class ExtractSpec extends SparkSpecBase {
     assert(capped == relational)
   }
 
+  test("intra-document cap bounds the token DICT too (stopword-adjacent pathological doc)") {
+    import graft.extract.MentionScanner
+    // every bigram contains "the" ⇒ zero counter entries, but each xN is a
+    // distinct token — without the dict-side check the intern table grows
+    // with document length unchecked
+    val words = (0 until 4000).flatMap(i => Seq("the", s"x$i"))
+    val html = s"<p>${words.mkString(" ")}</p>"
+    val state = new MentionScanner.MentionCounts()
+    var spills = 0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    MentionScanner.countMentionsInto(html, state, 512,
+      it => { spills += 1; rows ++= it; assert(state.dict.size <= 513) })
+    assert(spills >= 7, s"spills=$spills")
+    assert(state.dict.size < 513)
+    assert((rows ++ state.iterator).isEmpty) // no valid bigrams in this doc
+  }
+
   test("extracted text equals the generator's golden text column") {
     import spark.implicits._
     val web = WebtextGen.generate(spark, 100, 4)
