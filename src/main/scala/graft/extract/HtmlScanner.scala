@@ -27,11 +27,34 @@ object HtmlScanner {
     out.toString
   }
 
-  def extractTo(html: String, sink: CharSink): Unit = {
-    val n = html.length
+  /** Resumable-scan cursor: the loop's only cross-iteration state. Lets a
+    * caller pause extraction mid-document (drain fused downstream state)
+    * and continue from the exact position — the mechanism behind the
+    * truly-bounded mention-counter cap (MentionScanner). */
+  final class ScanState {
     var i = 0
     var pendingSpace = false
     var emitted = false
+  }
+
+  def extractTo(html: String, sink: CharSink): Unit = {
+    extractResumable(html, sink, new ScanState, AlwaysContinue)
+    ()
+  }
+
+  private val AlwaysContinue: () => Boolean = () => false
+
+  /** Scan from `st` until end of input or until `pauseCheck()` returns true
+    * (polled every 64 input positions — pause overshoot is bounded by ~64
+    * chars of tokens). Returns true iff paused before the end; the caller
+    * resumes by calling again with the same `st`. */
+  def extractResumable(html: String, sink: CharSink, st: ScanState,
+                       pauseCheck: () => Boolean): Boolean = {
+    val n = html.length
+    var i = st.i
+    var pendingSpace = st.pendingSpace
+    var emitted = st.emitted
+    def save(): Unit = { st.i = i; st.pendingSpace = pendingSpace; st.emitted = emitted }
 
     // exactly Java regex \s: [ \t\n\x0B\f\r] — NOT Character.isWhitespace
     def isWs(c: Char): Boolean =
@@ -69,6 +92,7 @@ object HtmlScanner {
     }
 
     while (i < n) {
+      if ((i & 63) == 0 && pauseCheck()) { save(); return true }
       val c = html.charAt(i)
       if (c == '<') {
         if (startsWithIgnoreCase(i, "<!--")) {
@@ -128,5 +152,7 @@ object HtmlScanner {
         i += 1
       }
     }
+    save()
+    false
   }
 }

@@ -192,19 +192,21 @@ object MentionScanner {
     * tokens intern into the dict, bigram occurrences increment a primitive
     * counter keyed by the packed (prevId, tokId) pair.
     *
-    * The state cap is enforced INSIDE the document too: the between-
-    * documents check alone let one pathological document (> maxEntries
-    * distinct bigrams) blow the counter before the flush ran. On overflow
-    * mid-document the partial counts drain through `onSpill` (the
-    * downstream sum-groupBy merges partials exactly), the dict + counter
-    * reset, and the in-flight previous token re-interns so the next bigram
-    * still forms — counter state never exceeds maxEntries. */
-  private final class CountingSink(state: MentionCounts, maxEntries: Int,
-                                   onSpill: Iterator[(String, Long)] => Unit)
+    * The state cap is enforced INSIDE the document too (the between-
+    * documents check alone let one pathological document blow the state,
+    * and a dict-only check matters as well: a page of distinct stopword-
+    * adjacent tokens interns every token without ever adding a bigram).
+    * The sink raises `overflowed` the moment either structure reaches
+    * `maxEntries`; the scanner polls it (HtmlScanner.extractResumable)
+    * and PAUSES, the owner drains `state` through its output iterator,
+    * then calls [[drainReset]] and resumes the scan from the same cursor —
+    * peak memory is the cap (+ ≤64 chars of pause overshoot), never the
+    * document's distinct-bigram count. */
+  final class CountingSink(state: MentionCounts, maxEntries: Int)
       extends HtmlScanner.CharSink {
     private val tok = new java.lang.StringBuilder(24)
     private var prevId = -1
-    var spilled = false
+    var overflowed = false
     override def accept(c0: Char): Unit = {
       val c = Character.toLowerCase(c0)
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
@@ -217,31 +219,41 @@ object MentionScanner {
         if (prevId >= 0 && !state.dict.isStop(prevId) && !state.dict.isStop(id))
           state.bigrams.add((prevId.toLong << 32) | (id.toLong & 0xffffffffL), 1L)
         prevId = id
-        // dict size is capped too: a document of distinct stopword-adjacent
-        // tokens never adds a bigram but still interns every token
-        if (state.bigrams.size >= maxEntries || state.dict.size >= maxEntries) {
-          spilled = true
-          val prevTok = state.dict.token(prevId)
-          onSpill(state.iterator)
-          state.reset()
-          prevId = state.dict.internString(prevTok)
-        }
+        if (state.bigrams.size >= maxEntries || state.dict.size >= maxEntries)
+          overflowed = true
       }
+    }
+    /** After the owner consumed `state.iterator` (materialized): fresh dict
+      * + counter, in-flight previous token re-interned so the next bigram
+      * still forms across the pause. */
+    def drainReset(): Unit = {
+      val prevTok = if (prevId >= 0) state.dict.token(prevId) else null
+      state.reset()
+      prevId = if (prevTok != null) state.dict.internString(prevTok) else -1
+      overflowed = false
     }
     def finish(): Unit = { flushToken(); prevId = -1 }
   }
 
-  /** Fused extract→tokenize→count of one document into `state`; partial
-    * counts beyond `maxEntries` distinct bigrams spill through `onSpill`
-    * mid-document. Returns true if a spill happened (callers should drain
-    * accumulated rows before counting further documents). */
+  /** Fused extract→tokenize→count of one document into `state`; on cap
+    * overflow the scan pauses, partial counts drain through `onSpill`
+    * (the downstream sum-groupBy merges partials exactly), and the scan
+    * resumes from the same cursor. Returns true if any spill happened.
+    * (The pipeline iterator drives the pause/resume loop itself so rows
+    * stream out between pauses; this entry point is the one-shot form.) */
   def countMentionsInto(html: String, state: MentionCounts,
                         maxEntries: Int = Int.MaxValue,
                         onSpill: Iterator[(String, Long)] => Unit = _ => ()): Boolean = {
-    val sink = new CountingSink(state, maxEntries, onSpill)
-    HtmlScanner.extractTo(html, sink)
+    val sink = new CountingSink(state, maxEntries)
+    val st = new HtmlScanner.ScanState
+    var spilled = false
+    while (HtmlScanner.extractResumable(html, sink, st, () => sink.overflowed)) {
+      onSpill(state.iterator)
+      sink.drainReset()
+      spilled = true
+    }
     sink.finish()
-    sink.spilled
+    spilled
   }
 
   /** Column form over raw html (binary or string). */

@@ -135,34 +135,56 @@ object KgPipeline {
     corpus.select(col(htmlCol).cast("string")).as[String]
       .mapPartitions { it =>
         // Unlike the hash-aggregate plan this replaces, the per-partition
-        // counter can't spill — so it's capped: once a chunk's distinct
-        // bigrams exceed maxStateEntries (default 4M ≈ ~150 MB incl. the
-        // interned dict) the partial counts flush as rows and the state
-        // resets; the downstream sum-groupBy merges partials exactly.
-        // The cap holds INSIDE a document too (countMentionsInto spills
-        // partial counts mid-document — one pathological page can't blow
-        // the counter), and a refill stops after a spilling document so
-        // spilled rows drain before more documents are consumed. Real web
+        // counter can't spill — so it's capped: once the chunk's distinct
+        // bigrams OR interned tokens reach maxStateEntries (default 4M ≈
+        // ~150 MB incl. the dict) the partial counts flush as rows and the
+        // state resets; the downstream sum-groupBy merges partials exactly.
+        // The cap holds INSIDE a document too: the html scan is resumable
+        // (HtmlScanner.ScanState cursor), so on mid-document overflow the
+        // scan PAUSES, this iterator streams the partial counts out, and
+        // the scan continues from the same position — peak state is the
+        // cap, never a pathological page's distinct-bigram count. Real web
         // text (unbounded bigram cardinality) stays memory-safe; the flush
         // never fires on vocabulary-bounded corpora.
         new Iterator[(String, Long)] {
+          import graft.extract.{HtmlScanner, MentionScanner}
           private var inner: Iterator[(String, Long)] = Iterator.empty
+          private var state = new MentionScanner.MentionCounts()
+          private var html: String = null
+          private var scan: HtmlScanner.ScanState = null
+          private var sink: MentionScanner.CountingSink = null
+          private var finalDrained = false
+          private def over =
+            state.bigrams.size >= maxStateEntries || state.dict.size >= maxStateEntries
           private def refill(): Unit = {
-            val state = new graft.extract.MentionScanner.MentionCounts()
-            val spilledRows = mutable.ArrayBuffer.empty[(String, Long)]
-            var spilled = false
-            while (it.hasNext && !spilled && state.bigrams.size < maxStateEntries &&
-                   state.dict.size < maxStateEntries) {
-              val html = it.next()
-              if (html != null && html.nonEmpty)
-                spilled = graft.extract.MentionScanner.countMentionsInto(
-                  html, state, maxStateEntries, rows => spilledRows ++= rows)
+            while (!inner.hasNext && !finalDrained) {
+              if (html != null) {
+                // continue the in-flight document until done or next pause
+                val paused = HtmlScanner.extractResumable(html, sink, scan,
+                  () => sink.overflowed)
+                if (paused) {
+                  inner = state.iterator // materialized before the reset
+                  sink.drainReset()
+                } else {
+                  sink.finish()
+                  html = null; scan = null; sink = null
+                  if (over) { inner = state.iterator; state.reset() }
+                }
+              } else if (it.hasNext) {
+                val h = it.next()
+                if (h != null && h.nonEmpty) {
+                  html = h
+                  scan = new HtmlScanner.ScanState
+                  sink = new MentionScanner.CountingSink(state, maxStateEntries)
+                }
+              } else {
+                finalDrained = true
+                inner = state.iterator
+              }
             }
-            inner = if (spilledRows.isEmpty) state.iterator
-                    else spilledRows.iterator ++ state.iterator
           }
           def hasNext: Boolean = {
-            while (!inner.hasNext && it.hasNext) refill()
+            if (!inner.hasNext) refill()
             inner.hasNext
           }
           def next(): (String, Long) = {
@@ -341,19 +363,31 @@ object KgPipeline {
     RoundResult(decisionsDS, lineageRows, scoredDF, () => raw.unpersist())
   }
 
+  /** Commit result: next id-allocator value, inserted-edge provenance
+    * records, minted concepts, and LABEL FLIPS — addEdge on an already-
+    * existing edge returns 1 and overwrites its label in place
+    * ('original' → 'new', reference taxonomy.py:65-101 semantics), a
+    * mutation that produces no delta row but MUST reach the checkpoint's
+    * edge delta or a resumed run replays the stale label (and the
+    * traversal's label-filtered search spaces then diverge). */
+  case class CommitResult(nextKey: Long, delta: Seq[(Long, Long, String, Int)],
+                          newConcepts: Seq[(String, Long)],
+                          labelFlips: Seq[(Long, Long)])
+
   /** Stage 4: deterministic-order driver commit with cycle screening (P4).
     * `decisions` must arrive label-sorted (run() streams them from a
     * sorted parquet iterator — one partition of driver memory, not the
     * whole round); the Seq overload below sorts for direct callers. */
   def commit(taxo: MutableTaxo, decisions: Seq[DecisionRow], nextKey0: Long,
-             round: Int): (Long, Seq[(Long, Long, String, Int)], Seq[(String, Long)]) =
+             round: Int): CommitResult =
     commitStream(taxo, decisions.sortBy(_.label).iterator, nextKey0, round)
 
   def commitStream(taxo: MutableTaxo, decisions: Iterator[DecisionRow], nextKey0: Long,
-                   round: Int): (Long, Seq[(Long, Long, String, Int)], Seq[(String, Long)]) = {
+                   round: Int): CommitResult = {
     var nextKey = nextKey0
     val delta = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
     val newConcepts = mutable.ArrayBuffer.empty[(String, Long)]
+    val flips = mutable.ArrayBuffer.empty[(Long, Long)]
     for (d <- decisions) {
       if (d.eqvNode.isDefined || d.sup.nonEmpty) {
         val selfClass: Long = d.eqvNode match {
@@ -368,16 +402,20 @@ object KgPipeline {
         val supR = taxo.reduceSubset(d.sup.map(_._1).filter(taxo.containsNode))
         val subR = taxo.reduceSubset(d.sub.map(_._1).filter(taxo.containsNode), reverse = true)
         for (s <- supR) {
-          try { if (taxo.addEdge(selfClass, s, "new") == 0) delta += ((selfClass, s, "new", round)) }
-          catch { case _: CycleException => }
+          try {
+            if (taxo.addEdge(selfClass, s, "new") == 0) delta += ((selfClass, s, "new", round))
+            else flips += ((selfClass, s))
+          } catch { case _: CycleException => }
         }
         for (s <- subR) {
-          try { if (taxo.addEdge(s, selfClass, "new") == 0) delta += ((s, selfClass, "new", round)) }
-          catch { case _: CycleException => }
+          try {
+            if (taxo.addEdge(s, selfClass, "new") == 0) delta += ((s, selfClass, "new", round))
+            else flips += ((s, selfClass))
+          } catch { case _: CycleException => }
         }
       }
     }
-    (nextKey, delta.toSeq, newConcepts.toSeq)
+    CommitResult(nextKey, delta.toSeq, newConcepts.toSeq, flips.toSeq)
   }
 
   /** Stage 5: canonicalization — embedding near-dup pairs among this
@@ -523,28 +561,36 @@ object KgPipeline {
         val baseRound = (resumeRound to 1 by -1)
           .find(i => Files.exists(Paths.get(s"${roundDir(ckptDir, i)}/nodes")))
           .getOrElse(0)
+        // every checkpointed row carries its `seq` insertion index — the
+        // replay sorts on it so the reconstructed LinkedHashMaps have the
+        // live run's EXACT insertion order (adjacency iteration order is
+        // decision-relevant, MutableTaxo scaladoc; an id-sorted replay
+        // would reorder, e.g., a minted node's sup edges from decide-rank
+        // order to dst-ascending)
         val t =
           if (baseRound == 0) seedTaxo()
           else {
             val nodes = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/nodes")
-              .as[(Long, String)].collect().sortBy(_._1)
+              .select(col("seq"), col("id"), col("label"))
+              .as[(Long, Long, String)].collect().sortBy(_._1)
             val edges = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/edges")
-              .select(col("src"), col("dst"), col("label"))
-              .as[(Long, Long, String)].collect().sortBy(e => (e._1, e._2))
+              .select(col("seq"), col("src"), col("dst"), col("label"))
+              .as[(Long, Long, Long, String)].collect().sortBy(_._1)
             val tt = new MutableTaxo
-            nodes.foreach { case (id, l) => tt.addNode(id, Some(l)) }
-            edges.foreach { case (u, v, l) => tt.addEdge(u, v, l) }
+            nodes.foreach { case (_, id, l) => tt.addNode(id, Some(l)) }
+            edges.foreach { case (_, u, v, l) => tt.addEdge(u, v, l) }
             tt
           }
         for (i <- (baseRound + 1) to resumeRound) {
           val rd = roundDir(ckptDir, i)
-          spark.read.parquet(s"$rd/nodes_delta").as[(Long, String)]
-            .collect().sortBy(_._1)
-            .foreach { case (id, l) => t.addNode(id, Some(l)) }
+          spark.read.parquet(s"$rd/nodes_delta")
+            .select(col("seq"), col("id"), col("label"))
+            .as[(Long, Long, String)].collect().sortBy(_._1)
+            .foreach { case (_, id, l) => t.addNode(id, Some(l)) }
           spark.read.parquet(s"$rd/edges_delta")
-            .select(col("src"), col("dst"), col("label")).as[(Long, Long, String)]
-            .collect().sortBy(e => (e._1, e._2))
-            .foreach { case (u, v, l) => t.addEdge(u, v, l) }
+            .select(col("seq"), col("src"), col("dst"), col("label"))
+            .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+            .foreach { case (_, u, v, l) => t.addEdge(u, v, l) }
         }
         t
       }
@@ -566,7 +612,16 @@ object KgPipeline {
       if (resumeRound == 0)
         spark.emptyDataset[(String, String, Double)].toDF("subLabel", "supLabel", "p")
       else spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/scored_pairs")
-    var nextKey = taxo.nodes.max + 1
+    // the id allocator is persisted per round (meta.txt): deriving it as
+    // max(id)+1 on resume could REUSE an id whose (max-valued) node was
+    // canonicalize-merged away, resurrecting stale provenance records —
+    // the uninterrupted run's counter is monotonic across merges
+    var nextKey = {
+      val mf = Paths.get(s"${roundDir(ckptDir, resumeRound)}/meta.txt")
+      if (resumeRound > 0 && Files.exists(mf))
+        new String(Files.readAllBytes(mf), "UTF-8").trim.toLong
+      else taxo.nodes.max + 1
+    }
     val allLineage = mutable.ArrayBuffer.empty[LineageRow]
     val allDeltas = mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
     val sameAs = mutable.ArrayBuffer.empty[(String, String, Int)]
@@ -641,7 +696,7 @@ object KgPipeline {
       // containsNode filter runs AFTER commit, exactly as the two-pass
       // form did, so the committed-state semantics are unchanged.
       val eqvSeen = mutable.ArrayBuffer.empty[(String, Long)]
-      val (nk, delta, newConcepts) = timed("commit")(
+      val CommitResult(nk, delta, newConcepts, labelFlips) = timed("commit")(
         commitStream(taxo, decisionsSorted().map { d =>
           for (e <- d.eqvNode) eqvSeen += ((d.label, e))
           d
@@ -672,28 +727,44 @@ object KgPipeline {
       // plan.)
       timed("checkpoint") {
         val nodeAdds = newConcepts.filterNot { case (_, id) => merge.contains(id) }
+        // edge delta = edges inserted this round (commit + merge re-points,
+        // first-occurrence order = live insertion order) PLUS label flips
+        // (addEdge over an existing edge rewrites its label in place —
+        // no new map entry, but the resumed taxonomy must replay it);
+        // labels re-read from the live taxonomy so merges win
         val edgeAdds = (delta.iterator.map(d => (d._1, d._2)) ++
-            mergeAdded.iterator.map(e => (e._1, e._2)))
+            mergeAdded.iterator.map(e => (e._1, e._2)) ++ labelFlips.iterator)
           .toSeq.distinct
           .filter { case (u, v) => taxo.containsEdge(u, v) }
           .map { case (u, v) => (u, v, taxo.succ(u)(v)) }
         // adaptive file layout: one file for round-sized deltas, natural
         // parallelism for mint-heavy rounds (a 2M-row coalesce(1) is a
-        // single-task serial write — the §9b drive's delta IS the snapshot)
+        // single-task serial write — the §9b drive's delta IS the
+        // snapshot). Every row carries its insertion index (`seq`): the
+        // resume replay sorts on it, reconstructing the live run's exact
+        // LinkedHashMap insertion order (MutableTaxo documents insertion
+        // order as decision-relevant) even across repartitioned writes.
         def writeAdaptive(df: DataFrame, n: Long, path: String): Unit =
           (if (n <= 100000) df.coalesce(1) else df)
             .write.mode(SaveMode.Overwrite).parquet(path)
-        writeAdaptive(nodeAdds.map { case (l, id) => (id, l) }.toDF("id", "label"),
+        writeAdaptive(
+          nodeAdds.zipWithIndex.map { case ((l, id), k) => (k.toLong, id, l) }
+            .toDF("seq", "id", "label"),
           nodeAdds.size, s"$rd/nodes_delta")
-        writeAdaptive(edgeAdds.toDF("src", "dst", "label"),
+        writeAdaptive(
+          edgeAdds.zipWithIndex.map { case ((u, v, l), k) => (k.toLong, u, v, l) }
+            .toDF("seq", "src", "dst", "label"),
           edgeAdds.size, s"$rd/edges_delta")
         if (cfg.compactEvery > 0 && r % cfg.compactEvery == 0) {
           // compaction: partitioned full-snapshot write (the old per-round
-          // coalesce(1) rewrite was a single-task serial term at 2M nodes)
+          // coalesce(1) rewrite was a single-task serial term at 2M nodes),
+          // seq-stamped in insertion order like the deltas
           val nParts = math.max(1, taxo.numberOfNodes / 500000)
-          taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("id", "label")
+          taxo.nodes.zipWithIndex.map { case (n, k) => (k.toLong, n, taxo.getLabel(n)) }
+            .toDF("seq", "id", "label")
             .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
-          taxo.edges.toDF("src", "dst", "label")
+          taxo.edges.zipWithIndex.map { case ((u, v, l), k) => (k.toLong, u, v, l) }
+            .toDF("seq", "src", "dst", "label")
             .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
         }
         val freshPairs = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
@@ -715,6 +786,8 @@ object KgPipeline {
           Files.write(Paths.get(s"$rd/center.txt"),
             (embCache.centerSnapshotSize.toString +: c.map(_.toString).toSeq)
               .mkString("\n").getBytes("UTF-8"))
+        // id-allocator state (monotonic across merges — see resume note)
+        Files.write(Paths.get(s"$rd/meta.txt"), nextKey.toString.getBytes("UTF-8"))
         Files.write(commitMarker(ckptDir, r), Array.emptyByteArray)
       }
       // crash injection for the kill+resume drive: hard-halt (no cleanup,

@@ -71,9 +71,9 @@ class ExtractSpec extends SparkSpecBase {
     var spills = 0
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val spilled = MentionScanner.countMentionsInto(html, state, 512,
-      it => { spills += 1; rows ++= it; assert(state.bigrams.size <= 512) })
+      it => { spills += 1; rows ++= it; assert(state.bigrams.size <= 512 + 64) })
     assert(spilled && spills >= 10, s"spills=$spills")
-    assert(state.bigrams.size < 512, "counter exceeded the cap after final doc")
+    assert(state.bigrams.size < 512 + 64, "counter exceeded the cap after final doc")
     val merged = (rows ++ state.iterator).groupBy(_._1).view
       .mapValues(_.map(_._2).sum).toMap
     val uncapped = {
@@ -104,9 +104,9 @@ class ExtractSpec extends SparkSpecBase {
     var spills = 0
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     MentionScanner.countMentionsInto(html, state, 512,
-      it => { spills += 1; rows ++= it; assert(state.dict.size <= 513) })
+      it => { spills += 1; rows ++= it; assert(state.dict.size <= 512 + 64) })
     assert(spills >= 7, s"spills=$spills")
-    assert(state.dict.size < 513)
+    assert(state.dict.size < 512 + 64)
     assert((rows ++ state.iterator).isEmpty) // no valid bigrams in this doc
   }
 

@@ -227,6 +227,19 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows(r2.triples) == rows(rFull.triples))
   }
 
+  test("commitStream records label flips (existing-edge 'original'→'new' overwrites)") {
+    val t = KgPipeline.seedTaxo()
+    // eqv resolves to existing node 11 ("join") and proposes its existing
+    // seed parent 1 ("operation"): addEdge returns 1 and rewrites the live
+    // edge label in place — the flip must surface for the edge delta or a
+    // resumed run replays 'original' and label-filtered traversal diverges
+    val d = KgPipeline.DecisionRow("join", Some(11L), Some(1.0), Seq((1L, 0.9)), Nil)
+    val res = KgPipeline.commit(t, Seq(d), 1000L, 1)
+    assert(res.delta.isEmpty && res.newConcepts.isEmpty)
+    assert(res.labelFlips == Seq((11L, 1L)))
+    assert(t.succ(11L)(1L) == "new")
+  }
+
   test("inserted concepts carry edges to existing taxonomy nodes only after cycle screening") {
     val ckpt = Files.createTempDirectory("kgcy").toString
     val res = KgPipeline.run(spark, corpus(200, 4), "text",
