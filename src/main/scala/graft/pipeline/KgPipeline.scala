@@ -555,12 +555,17 @@ object KgPipeline {
     // resume loads the latest compaction at or before the resume point and
     // replays the delta rounds after it.
     val resumeRound = lastCompleteRound(ckptDir)
+    // latest full-snapshot compaction at or before the resume point (0 =
+    // none: replay every delta from the seed) — shared by the taxonomy
+    // and the scored-pairs store, which compact together
+    val baseRound =
+      if (resumeRound == 0) 0
+      else (resumeRound to 1 by -1)
+        .find(i => Files.exists(Paths.get(s"${roundDir(ckptDir, i)}/nodes")))
+        .getOrElse(0)
     var taxo =
       if (resumeRound == 0) seedTaxo()
       else {
-        val baseRound = (resumeRound to 1 by -1)
-          .find(i => Files.exists(Paths.get(s"${roundDir(ckptDir, i)}/nodes")))
-          .getOrElse(0)
         // every checkpointed row carries its `seq` insertion index — the
         // replay sorts on it so the reconstructed LinkedHashMaps have the
         // live run's EXACT insertion order (adjacency iteration order is
@@ -607,11 +612,22 @@ object KgPipeline {
     }
     // the scored-pairs memo is parquet-backed and stays distributed: it
     // grows without bound across rounds, so it is never collected whole —
-    // each round broadcasts only the candidate-relevant slice
-    var scoredStore: DataFrame =
-      if (resumeRound == 0)
-        spark.emptyDataset[(String, String, Double)].toDF("subLabel", "supLabel", "p")
-      else spark.read.parquet(s"${roundDir(ckptDir, resumeRound)}/scored_pairs")
+    // each round attaches only the candidate-relevant slice. Like the
+    // taxonomy it checkpoints as per-round DELTAS (fresh pairs only; the
+    // full-history rewrite per round was an O(history) write) with a full
+    // snapshot on compaction rounds; the live store is the base ∪ deltas
+    // union (≤ compactEvery branches deep before the next compaction cuts
+    // the chain).
+    var scoredStore: DataFrame = {
+      val empty = spark.emptyDataset[(String, String, Double)]
+        .toDF("subLabel", "supLabel", "p")
+      val base =
+        if (baseRound == 0) empty
+        else spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/scored_pairs")
+      ((baseRound + 1) to resumeRound).foldLeft(base) { (acc, i) =>
+        acc.union(spark.read.parquet(s"${roundDir(ckptDir, i)}/scored_pairs_delta"))
+      }
+    }
     // the id allocator is persisted per round (meta.txt): deriving it as
     // max(id)+1 on resume could REUSE an id whose (max-valued) node was
     // canonicalize-merged away, resurrecting stale provenance records —
@@ -719,12 +735,11 @@ object KgPipeline {
       // nodes + surviving added edges — merges only remove same-round
       // mints), with a full snapshot every cfg.compactEvery rounds; the
       // per-round write cost tracks the delta, not the snapshot. The scored
-      // store is accumulated distributed: old store ∪ (new pairs anti-joined
-      // against it), written straight from the executors — the history never
-      // transits the driver. (No coalesce(1) there: at corpus scale the
-      // store is itself a big table; re-reading the written parquet also
-      // cuts the union lineage chain so rounds don't stack up a growing
-      // plan.)
+      // store follows the same scheme distributed-side: per-round fresh-
+      // pair deltas (anti-joined against the store, written straight from
+      // the executors — the history never transits the driver) with a
+      // full-store rewrite on compaction rounds, which also resets the
+      // live union chain so plans don't grow unboundedly.
       timed("checkpoint") {
         val nodeAdds = newConcepts.filterNot { case (_, id) => merge.contains(id) }
         // edge delta = edges inserted this round (commit + merge re-points,
@@ -755,7 +770,8 @@ object KgPipeline {
           edgeAdds.zipWithIndex.map { case ((u, v, l), k) => (k.toLong, u, v, l) }
             .toDF("seq", "src", "dst", "label"),
           edgeAdds.size, s"$rd/edges_delta")
-        if (cfg.compactEvery > 0 && r % cfg.compactEvery == 0) {
+        val compact = cfg.compactEvery > 0 && r % cfg.compactEvery == 0
+        if (compact) {
           // compaction: partitioned full-snapshot write (the old per-round
           // coalesce(1) rewrite was a single-task serial term at 2M nodes),
           // seq-stamped in insertion order like the deltas
@@ -767,11 +783,21 @@ object KgPipeline {
             .toDF("seq", "src", "dst", "label")
             .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
         }
+        // scored-pairs store: fresh pairs only per round (an O(delta)
+        // write — the old full-history rewrite was O(history) per round);
+        // the full store is rewritten on compaction rounds, which also
+        // cuts the live union chain
         val freshPairs = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
-        scoredStore.union(freshPairs)
-          .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
-        result.release()
-        scoredStore = spark.read.parquet(s"$rd/scored_pairs")
+        if (compact) {
+          scoredStore.union(freshPairs)
+            .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
+          result.release()
+          scoredStore = spark.read.parquet(s"$rd/scored_pairs")
+        } else {
+          freshPairs.write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs_delta")
+          result.release()
+          scoredStore = scoredStore.union(spark.read.parquet(s"$rd/scored_pairs_delta"))
+        }
         result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
         // cumulative provenance (bounded by inserted edges — adaptive too:
         // at the §9b drive it reaches 2M rows): lets a resumed run
