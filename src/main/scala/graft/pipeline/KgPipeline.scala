@@ -425,11 +425,16 @@ object KgPipeline {
     * the merge to the taxonomy. */
   def canonicalize(spark: SparkSession, taxo: MutableTaxo,
                    newConcepts: Seq[(String, Long)], models: IconModels,
-                   threshold: Double): (Map[Long, Long], Seq[(Long, Long, String)]) = {
+                   threshold: Double,
+                   embCache: graft.retrieve.SnapshotEmbeddings = null): (Map[Long, Long], Seq[(Long, Long, String)]) = {
     if (newConcepts.size < 2) return (Map.empty, Nil)
     val merge: Map[Long, Long] =
-      if (newConcepts.size <= 10000) canonicalizeLocal(newConcepts, models, threshold)
-      else {
+      if (newConcepts.size <= 10000) {
+        val ids = newConcepts.map(_._2).toArray
+        val emb = models.emb.embedBatched(newConcepts.map(_._1))
+        if (embCache != null) embCache.preload(ids, emb)
+        canonicalizeLocal(ids, emb, threshold)
+      } else {
         // Spark path for rounds that mint concept sets beyond driver scale:
         // distributed embedding, LSH-blocked near-dup pairs + distributed
         // connected components (embedding a 10⁶-concept mint on the driver
@@ -449,6 +454,15 @@ object KgPipeline {
             }
           }
           .toDF("vec_id", "embedding")
+          .persist()
+        // the mint embeddings seed the decide cache: without this the next
+        // round's sync re-embeds every surviving mint — a duplicated full
+        // model pass per round with a real encoder (the collect is the
+        // same id->vec payload the cache would hold after that sync)
+        if (embCache != null) {
+          val rows = vecs.as[(Long, Array[Float])].collect()
+          embCache.preload(rows.map(_._1), rows.map(_._2))
+        }
         // 256-bit/8-band signatures (32 sign bits per bucket key), NOT the
         // q17 default (16/4): 4-bit buckets have only 16 distinct values
         // per band, so a 10⁶-concept mint collapses into ~60k-member
@@ -470,6 +484,7 @@ object KgPipeline {
             .filter(col("node") =!= col("component"))
             .as[(Long, Long)].collect().toMap
         pairs.unpersist()
+        vecs.unpersist()
         out
       }
     (merge, applyMerge(taxo, merge))
@@ -480,9 +495,12 @@ object KgPipeline {
     * few hundred driver-resident labels is pure scheduling overhead).
     * Same semantics: exact cosine pairs ≥ threshold, union-find to min id. */
   def canonicalizeLocal(newConcepts: Seq[(String, Long)],
-                        models: IconModels, threshold: Double): Map[Long, Long] = {
-    val ids = newConcepts.map(_._2).toArray
-    val emb = models.emb.embedBatched(newConcepts.map(_._1))
+                        models: IconModels, threshold: Double): Map[Long, Long] =
+    canonicalizeLocal(newConcepts.map(_._2).toArray,
+      models.emb.embedBatched(newConcepts.map(_._1)), threshold)
+
+  private def canonicalizeLocal(ids: Array[Long], emb: Array[Array[Float]],
+                                threshold: Double): Map[Long, Long] = {
     val parent = mutable.HashMap(ids.map(i => i -> i): _*)
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
     def union(a: Long, b: Long): Unit = {
@@ -725,7 +743,7 @@ object KgPipeline {
       }
 
       val (merge, mergeAdded) = timed("canonicalize")(
-        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold))
+        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold, embCache))
       val mergedLabels = newConcepts.toMap.map(_.swap) // id -> label
       for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
         sameAs += ((dl, cl, r))

@@ -47,6 +47,16 @@ final class SnapshotEmbeddings(val dim: Int) extends Serializable {
     s0.clear(); s1.clear()
   }
 
+  /** Seed embeddings computed elsewhere (the canonicalize stage embeds
+    * every minted concept anyway — without this, the next round's sync
+    * re-embeds the same labels: a duplicated full model pass per round
+    * with a real encoder). Ids later absent from the snapshot are dropped
+    * by the next sync. */
+  def preload(ids: Array[Long], vs: Array[Array[Float]]): Unit = {
+    var i = 0
+    while (i < ids.length) { vecs(ids(i)) = vs(i); i += 1 }
+  }
+
   /** Align the cache with the snapshot's node set: drop ids the snapshot
     * lost, embed (via `embedBatch`, which receives ONLY the missing labels,
     * in snapshot order) ids it gained. Returns the vectors aligned to

@@ -191,10 +191,11 @@ class PipelineSpec extends SparkSpecBase {
     val (_, in2, out2) = idx(1)
     assert(out1 == in1, "cold cache must embed the whole snapshot once")
     assert(in2 > in1, "round 1 should have minted concepts")
-    // round 2's missing set is exactly the concepts round 1 minted (merged
-    // dups never entered the cache), so embedded count == snapshot growth
-    assert(out2 == in2 - in1,
-      s"round 2 embedded $out2 of $in2 — expected only the ${in2 - in1}-node delta")
+    // round 1's canonicalize stage preloads every mint's embedding into
+    // the cache, so round 2's sync finds NOTHING missing — the decide
+    // index re-embeds zero labels per steady-state round
+    assert(out2 == 0,
+      s"round 2 embedded $out2 of $in2 — mint embeddings should arrive via canonicalize preload")
   }
 
   test("delta checkpoints + compaction: resume matches the uninterrupted run bit-for-bit") {
