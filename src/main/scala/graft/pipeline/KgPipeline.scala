@@ -54,12 +54,17 @@ object KgPipeline {
       // (reference semantics, vector_index.py exhaustive=True) to banded
       // RHP-LSH (graft.retrieve.BandedIndex) above this snapshot size
       annNodeThreshold: Int = 50000,
-      // full nodes/edges snapshot every k rounds; other rounds write only
-      // the round's (purely additive) node/edge deltas — the per-round
-      // checkpoint cost tracks the delta, not the snapshot (a 2M-row
-      // coalesce(1) rewrite per round was 63 s of the §9b drive's wall).
-      // 0 disables compaction (deltas only; resume replays from the seed).
-      compactEvery: Int = 8) extends Serializable
+      // full nodes/edges/scored-store snapshot every k rounds; other
+      // rounds write only the round's (purely additive) deltas — the
+      // per-round checkpoint cost tracks the delta, not the snapshot (a
+      // 2M-row coalesce(1) rewrite per round was 63 s of the §9b drive's
+      // wall). Must be ≥ 1: compaction also bounds the live scored-store
+      // union chain (≤ k branches before a full rewrite resets it), so
+      // "never compact" would grow the plan without bound. k = 1 restores
+      // the round-3 full-rewrite-every-round behavior.
+      compactEvery: Int = 8) extends Serializable {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+  }
 
   /** OLAP-domain seed taxonomy matching the synthetic corpus vocabulary. */
   def seedTaxo(): MutableTaxo = {
@@ -427,7 +432,14 @@ object KgPipeline {
                    newConcepts: Seq[(String, Long)], models: IconModels,
                    threshold: Double,
                    embCache: graft.retrieve.SnapshotEmbeddings = null): (Map[Long, Long], Seq[(Long, Long, String)]) = {
-    if (newConcepts.size < 2) return (Map.empty, Nil)
+    if (newConcepts.size < 2) {
+      // nothing to merge, but a 1-concept mint still seeds the decide
+      // cache — the zero-repeat-embedding invariant holds for every round
+      if (embCache != null && newConcepts.nonEmpty)
+        embCache.preload(newConcepts.map(_._2).toArray,
+          models.emb.embedBatched(newConcepts.map(_._1)))
+      return (Map.empty, Nil)
+    }
     val merge: Map[Long, Long] =
       if (newConcepts.size <= 10000) {
         val ids = newConcepts.map(_._2).toArray
@@ -643,7 +655,12 @@ object KgPipeline {
         if (baseRound == 0) empty
         else spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/scored_pairs")
       ((baseRound + 1) to resumeRound).foldLeft(base) { (acc, i) =>
-        acc.union(spark.read.parquet(s"${roundDir(ckptDir, i)}/scored_pairs_delta"))
+        val rd = roundDir(ckptDir, i)
+        if (Files.exists(Paths.get(s"$rd/scored_pairs_delta")))
+          acc.union(spark.read.parquet(s"$rd/scored_pairs_delta"))
+        else if (Files.exists(Paths.get(s"$rd/scored_pairs")))
+          spark.read.parquet(s"$rd/scored_pairs") // pre-delta format: per-round FULL store
+        else acc // round minted no pairs delta (legal on empty rounds)
       }
     }
     // the id allocator is persisted per round (meta.txt): deriving it as
