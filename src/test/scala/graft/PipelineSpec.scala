@@ -228,6 +228,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows(r2.triples) == rows(rFull.triples))
   }
 
+  test("resume falls back to a pre-delta-format scored_pairs store") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val full = Files.createTempDirectory("kgofmt_full").toString
+    val part = Files.createTempDirectory("kgofmt_part").toString
+    val rFull = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), full)
+    KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(), cfg(1), part)
+    // simulate a checkpoint written by the pre-delta binary: round 1's
+    // delta IS the full store (empty base), so renaming the directory
+    // reproduces the old per-round-full-store layout exactly
+    JFiles.move(JPaths.get(s"$part/round=1/scored_pairs_delta"),
+      JPaths.get(s"$part/round=1/scored_pairs"))
+    val rResumed = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), part)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "src_round", "lineage")
+        .as[(String, String, String, Int, String)].collect().sortBy(_.toString).toSeq
+    assert(rows(rResumed.triples) == rows(rFull.triples))
+  }
+
   test("commitStream records label flips (existing-edge 'original'→'new' overwrites)") {
     val t = KgPipeline.seedTaxo()
     // eqv resolves to existing node 11 ("join") and proposes its existing
