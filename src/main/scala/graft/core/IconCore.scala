@@ -88,8 +88,21 @@ class ScoreCache(scorer: SubScorer) extends Serializable {
   def export: Seq[(String, String, Double)] =
     cache.iterator.map { case ((a, b), p) => (a, b, p) }.toSeq
 
+  /** Only pairs scored by THIS cache instance — excludes pairs seeded via
+    * [[importAll]]. The pipeline's per-round checkpoint delta is exactly
+    * this set: a pair queried by decide(l) always has the candidate l on
+    * one side, and every history pair touching l was imported from the
+    * prior slice, so a pair absent from the imports cannot be in the
+    * history store — the fresh set needs no anti-join against it. */
+  def exportFresh: Seq[(String, String, Double)] =
+    cache.iterator.collect {
+      case ((a, b), p) if !imported.contains((a, b)) => (a, b, p)
+    }.toSeq
+
+  private val imported = mutable.HashSet.empty[(String, String)]
+
   def importAll(rows: IterableOnce[(String, String, Double)]): Unit =
-    rows.iterator.foreach { case (a, b, p) => cache((a, b)) = p }
+    rows.iterator.foreach { case (a, b, p) => cache((a, b)) = p; imported += ((a, b)) }
 }
 
 /** The placement search + decision logic, stateless over its inputs so it

@@ -352,7 +352,11 @@ object KgPipeline {
         }.toVector
         val lineage = LineageRow(round, pid, "decide", batch.size, decisions.size,
           cache.pairsScored, System.currentTimeMillis() - t0)
-        val scored = cache.export.map { case (a, b, p) => ScoredPair(a, b, p) }
+        // fresh pairs only (scored this round, not imported from the prior
+        // slice): the checkpoint's scored-pairs delta is exactly this set,
+        // so the per-round store write needs NO anti-join against history
+        // — O(delta) end to end where the anti-join read was O(history)
+        val scored = cache.exportFresh.map { case (a, b, p) => ScoredPair(a, b, p) }
         Iterator((decisions, Seq(lineage), scored))
       }.persist()
 
@@ -423,29 +427,60 @@ object KgPipeline {
     CommitResult(nextKey, delta.toSeq, newConcepts.toSeq, flips.toSeq)
   }
 
+  /** Canonicalize output: the merge map (dupId -> canonicalId), the edges
+    * the merge re-pointed onto canonical nodes (the checkpoint's edge
+    * delta needs them), and per-sub-phase lineage rows (the §9g drive
+    * showed canonicalize as 47% of the 2-round wall with no breakdown —
+    * stages: canon_embed / canon_pairs / canon_cc / canon_preload /
+    * canon_apply; the driver path fuses pairs+cc into canon_cc). */
+  case class CanonResult(merge: Map[Long, Long],
+                         addedEdges: Seq[(Long, Long, String)],
+                         lineage: Seq[LineageRow])
+
   /** Stage 5: canonicalization — embedding near-dup pairs among this
-    * round's new concepts + CC merge (min-id canonical). Returns the merge
-    * map (dupId -> canonicalId) plus the edges the merge re-pointed onto
-    * canonical nodes (the checkpoint's edge delta needs them), and applies
-    * the merge to the taxonomy. */
+    * round's new concepts + CC merge (min-id canonical). Applies the merge
+    * to the taxonomy. Surviving (non-merged) mint embeddings are preloaded
+    * into `embCache` AFTER the merge map is known, in bounded chunks
+    * (toLocalIterator — one partition of driver memory at a time): the r4
+    * form collected the FULL mint vector set to the driver before the
+    * merge, including vectors of dups the merge immediately discards. */
   def canonicalize(spark: SparkSession, taxo: MutableTaxo,
                    newConcepts: Seq[(String, Long)], models: IconModels,
                    threshold: Double,
-                   embCache: graft.retrieve.SnapshotEmbeddings = null): (Map[Long, Long], Seq[(Long, Long, String)]) = {
-    if (newConcepts.size < 2) {
+                   embCache: graft.retrieve.SnapshotEmbeddings = null,
+                   round: Int = 0): CanonResult = {
+    val lin = mutable.ArrayBuffer.empty[LineageRow]
+    def sub[A](stage: String, rowsIn: Long)(f: => (A, Long)): A = {
+      val t0 = System.currentTimeMillis()
+      val (out, rowsOut) = f
+      lin += LineageRow(round, -1, stage, rowsIn, rowsOut, 0L,
+        System.currentTimeMillis() - t0)
+      out
+    }
+    val n = newConcepts.size
+    if (n < 2) {
       // nothing to merge, but a 1-concept mint still seeds the decide
       // cache — the zero-repeat-embedding invariant holds for every round
       if (embCache != null && newConcepts.nonEmpty)
         embCache.preload(newConcepts.map(_._2).toArray,
           models.emb.embedBatched(newConcepts.map(_._1)))
-      return (Map.empty, Nil)
+      return CanonResult(Map.empty, Nil, Nil)
     }
     val merge: Map[Long, Long] =
-      if (newConcepts.size <= 10000) {
+      if (n <= 10000) {
         val ids = newConcepts.map(_._2).toArray
-        val emb = models.emb.embedBatched(newConcepts.map(_._1))
-        if (embCache != null) embCache.preload(ids, emb)
-        canonicalizeLocal(ids, emb, threshold)
+        val emb = sub("canon_embed", n)((models.emb.embedBatched(newConcepts.map(_._1)), n))
+        val m = sub("canon_cc", n) {
+          val mm = canonicalizeLocal(ids, emb, threshold); (mm, mm.size.toLong)
+        }
+        if (embCache != null) sub("canon_preload", n) {
+          // survivors only — a merged dup's vector would be dropped by the
+          // next sync anyway
+          val keep = ids.indices.filterNot(i => m.contains(ids(i)))
+          embCache.preload(keep.map(ids).toArray, keep.map(emb).toArray)
+          ((), keep.size.toLong)
+        }
+        m
       } else {
         // Spark path for rounds that mint concept sets beyond driver scale:
         // distributed embedding, LSH-blocked near-dup pairs + distributed
@@ -453,27 +488,22 @@ object KgPipeline {
         // was a single-threaded stall)
         import spark.implicits._
         val bm = spark.sparkContext.broadcast(models)
-        val vecs = newConcepts.toDF("label", "vec_id")
-          .repartition(spark.sparkContext.defaultParallelism)
-          .as[(String, Long)]
-          .mapPartitions { it =>
-            // batch-64 model contract (M1): one encoder invocation per
-            // ≤64-label chunk, never one per row
-            val emb = bm.value.emb
-            it.grouped(64).flatMap { chunk =>
-              chunk.iterator.zip(emb.embed(chunk.map(_._1)).iterator)
-                .map { case ((_, id), v) => (id, v) }
+        val vecs = sub("canon_embed", n) {
+          val v = newConcepts.toDF("label", "vec_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .as[(String, Long)]
+            .mapPartitions { it =>
+              // batch-64 model contract (M1): one encoder invocation per
+              // ≤64-label chunk, never one per row
+              val emb = bm.value.emb
+              it.grouped(64).flatMap { chunk =>
+                chunk.iterator.zip(emb.embed(chunk.map(_._1)).iterator)
+                  .map { case ((_, id), v) => (id, v) }
+              }
             }
-          }
-          .toDF("vec_id", "embedding")
-          .persist()
-        // the mint embeddings seed the decide cache: without this the next
-        // round's sync re-embeds every surviving mint — a duplicated full
-        // model pass per round with a real encoder (the collect is the
-        // same id->vec payload the cache would hold after that sync)
-        if (embCache != null) {
-          val rows = vecs.as[(Long, Array[Float])].collect()
-          embCache.preload(rows.map(_._1), rows.map(_._2))
+            .toDF("vec_id", "embedding")
+            .persist()
+          (v, v.count())
         }
         // 256-bit/8-band signatures (32 sign bits per bucket key), NOT the
         // q17 default (16/4): 4-bit buckets have only 16 distinct values
@@ -487,19 +517,47 @@ object KgPipeline {
         // mints this merge targets (cos ≈ 1) — borderline-threshold pairs
         // are sampled, the documented approximation vs the exact ≤10⁴
         // driver path.
-        val pairs = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold,
-            bits = 256, bands = 8)
-          .select(col("a"), col("b")).persist()
-        val out =
-          if (pairs.isEmpty) Map.empty[Long, Long]
-          else GraphOps.connectedComponents(pairs)
-            .filter(col("node") =!= col("component"))
-            .as[(Long, Long)].collect().toMap
+        val pairs = sub("canon_pairs", n) {
+          val p = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold,
+              bits = 256, bands = 8)
+            .select(col("a"), col("b")).persist()
+          (p, p.count())
+        }
+        val out = sub("canon_cc", n) {
+          val m =
+            if (pairs.isEmpty) Map.empty[Long, Long]
+            else GraphOps.connectedComponents(pairs)
+              .filter(col("node") =!= col("component"))
+              .as[(Long, Long)].collect().toMap
+          (m, m.size.toLong)
+        }
+        // the surviving mint embeddings seed the decide cache: without
+        // this the next round's sync re-embeds every surviving mint — a
+        // duplicated full model pass per round with a real encoder.
+        // Bounded-chunk transfer: toLocalIterator streams one partition at
+        // a time, so the driver never double-buffers the full mint payload
+        // on top of the cache's own storage.
+        if (embCache != null) sub("canon_preload", n) {
+          val survivors =
+            if (out.isEmpty) vecs
+            else vecs.join(broadcast(out.keys.toSeq.toDF("vec_id")),
+              Seq("vec_id"), "left_anti")
+          var preloaded = 0L
+          survivors.as[(Long, Array[Float])].toLocalIterator().asScala
+            .grouped(65536).foreach { chunk =>
+              embCache.preload(chunk.map(_._1).toArray, chunk.map(_._2).toArray)
+              preloaded += chunk.size
+            }
+          ((), preloaded)
+        }
         pairs.unpersist()
         vecs.unpersist()
         out
       }
-    (merge, applyMerge(taxo, merge))
+    val added = sub("canon_apply", merge.size.toLong) {
+      val a = applyMerge(taxo, merge); (a, a.size.toLong)
+    }
+    CanonResult(merge, added, lin.toSeq)
   }
 
   /** Driver-side canonicalization twin for round-sized concept sets (the
@@ -605,15 +663,28 @@ object KgPipeline {
         val t =
           if (baseRound == 0) seedTaxo()
           else {
-            val nodes = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/nodes")
-              .select(col("seq"), col("id"), col("label"))
-              .as[(Long, Long, String)].collect().sortBy(_._1)
-            val edges = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/edges")
-              .select(col("seq"), col("src"), col("dst"), col("label"))
-              .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+            val nodesDF = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/nodes")
+            val edgesDF = spark.read.parquet(s"${roundDir(ckptDir, baseRound)}/edges")
             val tt = new MutableTaxo
-            nodes.foreach { case (_, id, l) => tt.addNode(id, Some(l)) }
-            edges.foreach { case (_, u, v, l) => tt.addEdge(u, v, l) }
+            if (nodesDF.columns.contains("seq")) {
+              nodesDF.select(col("seq"), col("id"), col("label"))
+                .as[(Long, Long, String)].collect().sortBy(_._1)
+                .foreach { case (_, id, l) => tt.addNode(id, Some(l)) }
+              edgesDF.select(col("seq"), col("src"), col("dst"), col("label"))
+                .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+                .foreach { case (_, u, v, l) => tt.addEdge(u, v, l) }
+            } else {
+              // pre-delta checkpoint format (no seq column; full nodes/edges
+              // written every round as one coalesce(1) file): replay exactly
+              // as that binary did — nodes id-sorted, edges in file order
+              // (the single-file write preserved insertion order)
+              nodesDF.select(col("id"), col("label"))
+                .as[(Long, String)].collect().sortBy(_._1)
+                .foreach { case (id, l) => tt.addNode(id, Some(l)) }
+              edgesDF.select(col("src"), col("dst"), col("label"))
+                .as[(Long, Long, String)].collect()
+                .foreach { case (u, v, l) => tt.addEdge(u, v, l) }
+            }
             tt
           }
         for (i <- (baseRound + 1) to resumeRound) {
@@ -759,8 +830,11 @@ object KgPipeline {
           sameAs += ((l, taxo.getLabel(e), r))
       }
 
-      val (merge, mergeAdded) = timed("canonicalize")(
-        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold, embCache))
+      val canonRes = timed("canonicalize")(
+        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold, embCache, r))
+      val merge = canonRes.merge
+      val mergeAdded = canonRes.addedEdges
+      allLineage ++= canonRes.lineage
       val mergedLabels = newConcepts.toMap.map(_.swap) // id -> label
       for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
         sameAs += ((dl, cl, r))
@@ -818,11 +892,15 @@ object KgPipeline {
             .toDF("seq", "src", "dst", "label")
             .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
         }
-        // scored-pairs store: fresh pairs only per round (an O(delta)
-        // write — the old full-history rewrite was O(history) per round);
-        // the full store is rewritten on compaction rounds, which also
-        // cuts the live union chain
-        val freshPairs = result.scored.join(scoredStore, Seq("subLabel", "supLabel"), "left_anti")
+        // scored-pairs store: fresh pairs only per round. decide exports
+        // ONLY pairs it scored this round (ScoreCache.exportFresh — pairs
+        // imported from the prior slice are excluded executor-side), so
+        // result.scored IS the history-fresh delta and the store write is
+        // O(delta) with no shuffle of the history at all. (The r4 form
+        // anti-joined result.scored against the full store here — an
+        // O(history) shuffle every round, 64.9 s of the §9g drive's
+        // checkpoint wall.)
+        val freshPairs = result.scored
         if (compact) {
           scoredStore.union(freshPairs)
             .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
@@ -833,7 +911,8 @@ object KgPipeline {
           result.release()
           scoredStore = scoredStore.union(spark.read.parquet(s"$rd/scored_pairs_delta"))
         }
-        result.lineage.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
+        (result.lineage ++ canonRes.lineage).toDF()
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
         // cumulative provenance (bounded by inserted edges — adaptive too:
         // at the §9b drive it reaches 2M rows): lets a resumed run
         // reconstruct src_round exactly

@@ -123,18 +123,30 @@ object StreamingOps {
     * restarted the user's next session at seq 1 (caught by the
     * restart-resumption test — invisible in single-drain runs, where
     * timeouts only ever fire in the final no-data batch). Open-session
-    * state is bounded by concurrently-open sessions; tombstones are four
-    * longs per user ever seen — the same cardinality the batch groupBy
-    * shuffles, and the price of batch-parity numbering on an unbounded
-    * stream. */
-  def sessionFn(gapMicros: Long)(user: Long, rows: Iterator[SessEvent],
-                                 state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
+    * state is bounded by concurrently-open sessions. Tombstones get their
+    * own (long) event-time timeout — `tombstoneTtlMicros`, default 30 days
+    * past the session's end — after which the state is REMOVED, so the
+    * store no longer grows monotonically with every user ever seen: it is
+    * bounded by users active within the TTL horizon. The documented
+    * tradeoff: a user returning after the TTL restarts numbering at
+    * session_seq = 1 (the batch twin, which always sees full history,
+    * would continue counting — exact batch parity over an unbounded
+    * stream requires unbounded state; the TTL makes the bound explicit
+    * and configurable instead of implicit and infinite). */
+  def sessionFn(gapMicros: Long,
+                tombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L)(
+      user: Long, rows: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
     def emit(s: SessState) = SessOut(user, s.seq, s.n, toTs(s.start), toTs(s.end))
     if (!rows.hasNext && state.hasTimedOut) {
       val s = state.get
-      if (s.n == 0L) Iterator.empty // spurious timeout on a tombstone
+      if (s.n == 0L) { state.remove(); Iterator.empty } // tombstone TTL expired: reclaim
       else {
-        state.update(SessState(s.end, s.end, 0L, s.seq)) // tombstone; no new timeout
+        state.update(SessState(s.end, s.end, 0L, s.seq)) // tombstone
+        // TTL anchored at the CURRENT watermark, not session end: the
+        // watermark may already be far past end + gap when this fires
+        // (setTimeoutTimestamp below the watermark throws)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + tombstoneTtlMicros / 1000L)
         Iterator(emit(s))
       }
     } else {
@@ -168,7 +180,8 @@ object StreamingOps {
   /** Shared watermarked sessionization plan for the streaming twins. */
   private def sessionsPlan(spark: SparkSession, inputDir: String,
                            schema: org.apache.spark.sql.types.StructType,
-                           gapMinutes: Int): org.apache.spark.sql.Dataset[SessOut] = {
+                           gapMinutes: Int,
+                           tombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L): org.apache.spark.sql.Dataset[SessOut] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     spark.readStream.schema(schema).parquet(inputDir)
@@ -179,7 +192,7 @@ object StreamingOps {
       .as[SessEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        sessionFn(gapMinutes * 60000000L))
+        sessionFn(gapMinutes * 60000000L, tombstoneTtlMicros))
   }
 
   /** Streaming gap-sessionization: watermarked event stream →
@@ -208,8 +221,9 @@ object StreamingOps {
   def streamingSessionsToParquet(spark: SparkSession, inputDir: String,
                                  schema: org.apache.spark.sql.types.StructType,
                                  outDir: String, checkpointDir: String,
-                                 gapMinutes: Int = 30): StreamingQuery =
-    sessionsPlan(spark, inputDir, schema, gapMinutes)
+                                 gapMinutes: Int = 30,
+                                 tombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L): StreamingQuery =
+    sessionsPlan(spark, inputDir, schema, gapMinutes, tombstoneTtlMicros)
       .writeStream.outputMode("append")
       .format("parquet")
       .option("path", outDir)

@@ -249,6 +249,60 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows(rResumed.triples) == rows(rFull.triples))
   }
 
+  test("resume from a GENUINE pre-delta-format checkpoint (full nodes/edges, no seq column)") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import org.apache.spark.sql.SaveMode
+    val full = Files.createTempDirectory("kgpre_full").toString
+    val part = Files.createTempDirectory("kgpre_part").toString
+    val rFull = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), full)
+    KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(), cfg(1), part)
+    // rewrite round 1 exactly as the pre-delta binary's checkpoint did:
+    // full `nodes`(id,label) / `edges`(src,dst,label) — NO seq column —
+    // plus a per-round-full scored_pairs store; no meta.txt / center.txt /
+    // *_delta dirs. Reconstruct the round-1 taxonomy from the new-format
+    // deltas, then dump it through the old write shape (taxo.nodes /
+    // taxo.edges order, coalesce(1)).
+    val t = KgPipeline.seedTaxo()
+    spark.read.parquet(s"$part/round=1/nodes_delta")
+      .select("seq", "id", "label").as[(Long, Long, String)].collect().sortBy(_._1)
+      .foreach { case (_, id, l) => t.addNode(id, Some(l)) }
+    spark.read.parquet(s"$part/round=1/edges_delta")
+      .select("seq", "src", "dst", "label").as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      .foreach { case (_, u, v, l) => t.addEdge(u, v, l) }
+    val rd = s"$part/round=1"
+    t.nodes.map(n => (n, t.getLabel(n))).toDF("id", "label")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
+    t.edges.toDF("src", "dst", "label")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
+    spark.read.parquet(s"$rd/scored_pairs_delta")
+      .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs_old")
+    def rmTree(p: String): Unit = {
+      val path = JPaths.get(p)
+      if (JFiles.exists(path))
+        JFiles.walk(path).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => JFiles.delete(f))
+    }
+    rmTree(s"$rd/scored_pairs_delta")
+    rmTree(s"$rd/nodes_delta")
+    rmTree(s"$rd/edges_delta")
+    JFiles.deleteIfExists(JPaths.get(s"$rd/meta.txt"))
+    JFiles.deleteIfExists(JPaths.get(s"$rd/center.txt"))
+    JFiles.move(JPaths.get(s"$rd/scored_pairs_old"), JPaths.get(s"$rd/scored_pairs"))
+    // the resume must take the no-seq fallback (id-sorted nodes, file-order
+    // edges — the pre-delta binary's own reconstruction) instead of
+    // crashing on the missing column, and complete round 2
+    val rResumed = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(2), part)
+    assert(rResumed.roundsRun == 1) // only round 2 re-ran
+    assert(tripleSet(rResumed.triples) == tripleSet(rFull.triples))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "src_round", "lineage")
+        .as[(String, String, String, Int, String)].collect().sortBy(_.toString).toSeq
+    assert(rows(rResumed.triples) == rows(rFull.triples))
+  }
+
   test("commitStream records label flips (existing-edge 'original'→'new' overwrites)") {
     val t = KgPipeline.seedTaxo()
     // eqv resolves to existing node 11 ("join") and proposes its existing

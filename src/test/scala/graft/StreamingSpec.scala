@@ -169,6 +169,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("session tombstones are reclaimed after the TTL (bounded state store)") {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("sess_ttl_in").toString
+    val outDir = Files.createTempDirectory("sess_ttl_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("sess_ttl_ck").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(hours: Double) = new java.sql.Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("event_id", "ts", "user_id").coalesce(1).write.mode("append").parquet(inDir)
+    write(Seq((1L, t0, 7L)))
+    val schema = spark.read.parquet(inDir).schema
+    val dayMicros = 24L * 3600 * 1000000L
+    def drain(): Unit = {
+      val q = StreamingOps.streamingSessionsToParquet(spark, inDir, schema, outDir, ckpt,
+        gapMinutes = 30, tombstoneTtlMicros = dayMicros)
+      q.awaitTermination(120000)
+    }
+    drain()
+    write(Seq((-1L, at(2), -1L))) // watermark past gap: session 1 closes, tombstone set
+    drain()
+    write(Seq((-2L, at(24 * 10), -2L))) // watermark past tombstone TTL: state reclaimed
+    drain()
+    write(Seq((2L, at(24 * 20), 7L))) // user 7 returns AFTER the TTL horizon
+    write(Seq((-3L, at(24 * 40), -3L))) // flush
+    drain()
+    val seqs = spark.read.parquet(outDir).filter(col("user_id") === 7L)
+      .orderBy("session_start").select("session_seq").as[Long].collect().toSeq
+    // the documented TTL tradeoff: numbering restarts at 1 after the
+    // tombstone is reclaimed (an unreclaimed tombstone would yield seq 2 —
+    // and an unbounded state store)
+    assert(seqs == Seq(1L, 1L), s"got $seqs")
+  }
+
   test("streaming hourly event agg produces windows under watermark") {
     // readStream needs a directory, not a single parquet file
     val dir = Files.createTempDirectory("stream_ev").toString
