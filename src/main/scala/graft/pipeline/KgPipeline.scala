@@ -54,6 +54,23 @@ object KgPipeline {
       // (reference semantics, vector_index.py exhaustive=True) to banded
       // RHP-LSH (graft.retrieve.BandedIndex) above this snapshot size
       annNodeThreshold: Int = 50000,
+      // HARD driver bound with a fail-fast error: the decide stage keeps
+      // the taxonomy GRAPH driver-resident and broadcast (adjacency +
+      // labels + the lexical hash table ≈ 1 KB/node across the driver copy
+      // and the broadcast copy — ~16 GB heap at this default; the §9b
+      // 2M-node drive measured ~2 GB/copy). Embeddings are NOT part of
+      // this bound: above `distributedRetrieveNodes` they live in a
+      // distributed (id, embedding) table and never transit the driver.
+      // Raise this bound and driver heap TOGETHER (-Xmx ≥ nodes/500k GB),
+      // or shard the corpus into independent runs.
+      maxSnapshotNodes: Int = 8000000,
+      // beyond this snapshot size the decide stage's seed retrieval runs
+      // as a distributed banded cogroup (retrieve.DistributedBandedRetrieve)
+      // against the checkpoint's embedding table instead of a broadcast
+      // BandedIndex, and the driver-side embedding cache is bypassed —
+      // driver memory stops scaling with n·dim. Below it the broadcast
+      // index is faster (no per-round embedding shuffle).
+      distributedRetrieveNodes: Int = 2000000,
       // full nodes/edges/scored-store snapshot every k rounds; other
       // rounds write only the round's (purely additive) deltas — the
       // per-round checkpoint cost tracks the delta, not the snapshot (a
@@ -261,11 +278,18 @@ object KgPipeline {
     * array, never the full history. */
   def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
                   models: IconModels, cfg: PipelineConfig, round: Int,
-                  embCache: graft.retrieve.SnapshotEmbeddings = null): RoundResult = {
+                  embCache: graft.retrieve.SnapshotEmbeddings = null,
+                  embStore: DataFrame = null): RoundResult = {
     import spark.implicits._
     val sc = spark.sparkContext
     val bTaxo = sc.broadcast(taxo)
     val bModels = sc.broadcast(models)
+    // past `distributedRetrieveNodes` the seed retrieval runs as a
+    // distributed banded cogroup against the checkpointed embedding store
+    // — no snapshot vector ever lands on the driver or in a broadcast;
+    // the remaining driver-resident state (graph + labels + lexical
+    // table) is governed by the maxSnapshotNodes fail-fast bound
+    val distMode = taxo.nodes.size > cfg.distributedRetrieveNodes && embStore != null
     // the label-hash → node lexical table is built ONCE from the snapshot
     // and shipped with the broadcast, not rebuilt in every task
     val bLexical = sc.broadcast(
@@ -289,44 +313,93 @@ object KgPipeline {
     val cache = if (embCache != null) embCache else
       new graft.retrieve.SnapshotEmbeddings(models.emb.dim)
     val nodeIds = taxo.nodes.toArray
-    val labels = nodeIds.map(taxo.getLabel)
     val tIdx = System.currentTimeMillis()
-    val vecs: Array[Array[Float]] = cache.sync(nodeIds, labels, missing =>
-      if (missing.length <= 50000) models.emb.embedBatched(missing)
-      else {
-        val lbl = sc.broadcast(missing.toArray)
-        spark.range(0, missing.length, 1, 32)
+    // seed retrieval, three regimes by snapshot size:
+    //   ≤ annNodeThreshold          exact broadcast VectorIndex (reference
+    //                               semantics, vector_index.py exhaustive)
+    //   ≤ distributedRetrieveNodes  broadcast banded RHP-LSH (BandedIndex;
+    //                               signatures from the incremental cache)
+    //   beyond                      distributed banded cogroup against the
+    //                               checkpointed embedding store — seeds
+    //                               are joined ONTO the candidate rows and
+    //                               no vector transits the driver
+    var seedsDF: DataFrame = null
+    var seedRelease: () => Unit = () => ()
+    val (bIndex, indexLineage) =
+      if (!distMode) {
+        val labels = nodeIds.map(taxo.getLabel)
+        val vecs: Array[Array[Float]] = cache.sync(nodeIds, labels, missing =>
+          if (missing.length <= 50000) models.emb.embedBatched(missing)
+          else {
+            val lbl = sc.broadcast(missing.toArray)
+            spark.range(0, missing.length, 1, 32)
+              .mapPartitions { it =>
+                val emb = bModels.value.emb
+                val idx = it.toArray
+                idx.iterator.zip(
+                  emb.embedBatched(idx.map(i => lbl.value(i.toInt)).toSeq).iterator)
+              }.collect().sortBy(_._1).map(_._2)
+          })
+        // banded RHP-LSH above the exact threshold — a 10⁶-node snapshot ×
+        // 10⁶ candidates would otherwise be 10¹² exact dot products in this
+        // one stage (BandedIndex scaladoc). RHP signatures come from the
+        // cache too (frozen-center policy with drift-triggered recenter),
+        // so the banded rebuild is O(n) counting sort + O(delta·bits·dim)
+        // signature work.
+        val index: graft.retrieve.SeedSearch =
+          if (nodeIds.length <= cfg.annNodeThreshold) new VectorIndex(nodeIds, vecs)
+          else {
+            val (center, sg0, sg1) = cache.signatures(nodeIds, vecs)
+            new graft.retrieve.BandedIndex(nodeIds, vecs, center, sg0, sg1)
+          }
+        // evidence surface for the incremental index: rowsIn = snapshot
+        // size, rowsOut = labels embedded this round, scoredPairs =
+        // signatures built
+        (sc.broadcast(index), LineageRow(round, -1, "index_build", nodeIds.length,
+          cache.lastEmbedded, cache.lastSigned, System.currentTimeMillis() - tIdx))
+      } else {
+        // frozen center, persisted with the checkpoint exactly like the
+        // broadcast-banded path's (a resumed run probes identical buckets).
+        // First engagement derives it from a deterministic id-ordered
+        // sample of the store (float sums over a distributed agg would
+        // vary with partition order run-to-run).
+        val center = cache.currentCenter.getOrElse {
+          val sample = embStore.orderBy("vec_id").limit(65536)
+            .as[(Long, Array[Float])].collect()
+          val c = new Array[Double](models.emb.dim)
+          for ((_, v) <- sample; i <- c.indices if i < v.length) c(i) += v(i)
+          for (i <- c.indices)
+            c(i) = BigDecimal(c(i) / math.max(1, sample.length))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          cache.restoreCenter(c, nodeIds.length)
+          c
+        }
+        // candidate embeddings: distributed, batch-64 model contract (M1)
+        val candVecs = candidates.select(col("mention")).as[String]
           .mapPartitions { it =>
             val emb = bModels.value.emb
-            val idx = it.toArray
-            idx.iterator.zip(
-              emb.embedBatched(idx.map(i => lbl.value(i.toInt)).toSeq).iterator)
-          }.collect().sortBy(_._1).map(_._2)
-      })
-    // seed retrieval: exact index at reference scale, banded RHP-LSH above
-    // the threshold — a 10⁶-node snapshot × 10⁶ candidates would otherwise
-    // be 10¹² exact dot products in this one stage (BandedIndex scaladoc).
-    // RHP signatures come from the cache too (frozen-center policy with
-    // drift-triggered recenter, SnapshotEmbeddings scaladoc), so the banded
-    // rebuild is O(n) counting sort + O(delta·bits·dim) signature work.
-    val index: graft.retrieve.SeedSearch =
-      if (nodeIds.length <= cfg.annNodeThreshold) new VectorIndex(nodeIds, vecs)
-      else {
-        val (center, sg0, sg1) = cache.signatures(nodeIds, vecs)
-        new graft.retrieve.BandedIndex(nodeIds, vecs, center, sg0, sg1)
+            it.grouped(64).flatMap(chunk => chunk.iterator.zip(emb.embed(chunk).iterator))
+          }.toDF("mention", "qvec").persist()
+        val sdf = graft.retrieve.DistributedBandedRetrieve.seeds(
+          spark, candVecs, embStore, center, models.emb.dim, retrieve).persist()
+        val nSeeded = sdf.count()
+        seedsDF = sdf
+        seedRelease = () => { sdf.unpersist(); candVecs.unpersist(); () }
+        (sc.broadcast(new VectorIndex(Array.empty, Array.empty): graft.retrieve.SeedSearch),
+          LineageRow(round, -1, "retrieve_dist", nodeIds.length, nSeeded, 0,
+            System.currentTimeMillis() - tIdx))
       }
-    // evidence surface for the incremental index: rowsIn = snapshot size,
-    // rowsOut = labels embedded this round, scoredPairs = signatures built
-    val indexLineage = LineageRow(round, -1, "index_build", nodeIds.length,
-      cache.lastEmbedded, cache.lastSigned, System.currentTimeMillis() - tIdx)
-    val bIndex = sc.broadcast(index)
 
     val hasPriors = candidates.columns.contains("priors")
+    val withPriors =
+      if (hasPriors) candidates.select(col("mention"), col("priors"))
+      else candidates.select(col("mention"),
+        lit(null).cast("array<struct<subLabel:string,supLabel:string,p:double>>").as("priors"))
     val input =
-      (if (hasPriors) candidates.select(col("mention"), col("priors"))
-       else candidates.select(col("mention"),
-         lit(null).cast("array<struct<subLabel:string,supLabel:string,p:double>>").as("priors")))
-        .as[(String, Seq[ScoredPair])]
+      (if (seedsDF != null) withPriors.join(seedsDF, Seq("mention"), "left_outer")
+       else withPriors.withColumn("seeds", lit(null).cast("array<bigint>")))
+        .select(col("mention"), col("priors"), col("seeds"))
+        .as[(String, Seq[ScoredPair], Seq[Long])]
     val raw = input
       .mapPartitions { it =>
         val t0 = System.currentTimeMillis()
@@ -337,15 +410,22 @@ object KgPipeline {
         val cache = new ScoreCache(m.sub)
         val lexical = bLexical.value
         val batch = it.toSeq
-        for ((_, priors) <- batch; if priors != null)
+        for ((_, priors, _) <- batch; if priors != null)
           cache.importAll(priors.iterator.map(p => (p.subLabel, p.supLabel, p.p)))
         // candidate embeddings in ≤64-label model calls (M1 batch contract;
         // one model invocation per row was a 64× inflation with a real
-        // encoder), then one decision per candidate against the snapshot
-        val queryVecs = m.emb.embedBatched(batch.map(_._1))
-        val decisions = batch.iterator.zip(queryVecs.iterator).map {
-          case ((label, _), qv) =>
-            val base = index.search(qv, retrieve)._2.toSeq
+        // encoder), then one decision per candidate against the snapshot.
+        // In distributed-retrieve mode the seeds arrived as a column and
+        // the query vector is not needed at all — the one embedding pass
+        // happened in the distributed retrieval stage.
+        val queryVecs: Iterator[Array[Float]] =
+          if (distMode) Iterator.continually(null)
+          else m.emb.embedBatched(batch.map(_._1)).iterator
+        val decisions = batch.iterator.zip(queryVecs).map {
+          case ((label, _, seeds), qv) =>
+            val base =
+              if (distMode) { if (seeds == null) Nil else seeds.toSeq }
+              else index.search(qv, retrieve)._2.toSeq
             val d = IconTraversal.decide(snapshot, label, base, cache, iconCfg,
               l => lexical.get(Tokenset.hash64(l)))
             DecisionRow(d.label, d.eqv.map(_._1), d.eqv.map(_._2), d.sup, d.sub)
@@ -369,7 +449,8 @@ object KgPipeline {
       .groupBy("subLabel", "supLabel").agg(first("p").as("p"))
     val decisionsDS = raw.flatMap(_._1.iterator)
     val lineageRows = raw.flatMap(_._2.iterator).collect().toSeq :+ indexLineage
-    RoundResult(decisionsDS, lineageRows, scoredDF, () => raw.unpersist())
+    RoundResult(decisionsDS, lineageRows, scoredDF,
+      () => { raw.unpersist(); seedRelease() })
   }
 
   /** Commit result: next id-allocator value, inserted-edge provenance
@@ -433,9 +514,17 @@ object KgPipeline {
     * showed canonicalize as 47% of the 2-round wall with no breakdown —
     * stages: canon_embed / canon_pairs / canon_cc / canon_preload /
     * canon_apply; the driver path fuses pairs+cc into canon_cc). */
+  /** `survivorVecs` is the round's (vec_id, embedding) table of mints that
+    * SURVIVED the merge — the per-round delta of the distributed embedding
+    * store (the at-scale decide path retrieves seeds from that store, so
+    * the checkpoint persists it like nodes/edges; rounds are purely
+    * additive, merges only ever remove same-round mints). Call `release`
+    * after the checkpoint has written it. */
   case class CanonResult(merge: Map[Long, Long],
                          addedEdges: Seq[(Long, Long, String)],
-                         lineage: Seq[LineageRow])
+                         lineage: Seq[LineageRow],
+                         survivorVecs: DataFrame,
+                         release: () => Unit)
 
   /** Stage 5: canonicalization — embedding near-dup pairs among this
     * round's new concepts + CC merge (min-id canonical). Applies the merge
@@ -457,30 +546,37 @@ object KgPipeline {
         System.currentTimeMillis() - t0)
       out
     }
+    import spark.implicits._
     val n = newConcepts.size
     if (n < 2) {
       // nothing to merge, but a 1-concept mint still seeds the decide
-      // cache — the zero-repeat-embedding invariant holds for every round
+      // cache and the embedding store — the zero-repeat-embedding
+      // invariant holds for every round
+      val emb1 = if (newConcepts.isEmpty) Array.empty[Array[Float]]
+        else models.emb.embedBatched(newConcepts.map(_._1))
       if (embCache != null && newConcepts.nonEmpty)
-        embCache.preload(newConcepts.map(_._2).toArray,
-          models.emb.embedBatched(newConcepts.map(_._1)))
-      return CanonResult(Map.empty, Nil, Nil)
+        embCache.preload(newConcepts.map(_._2).toArray, emb1)
+      val sv1 = newConcepts.map(_._2).zip(emb1).toDF("vec_id", "embedding")
+      return CanonResult(Map.empty, Nil, Nil, sv1, () => ())
     }
-    val merge: Map[Long, Long] =
-      if (n <= 10000) {
+    if (n <= 10000) {
         val ids = newConcepts.map(_._2).toArray
         val emb = sub("canon_embed", n)((models.emb.embedBatched(newConcepts.map(_._1)), n))
         val m = sub("canon_cc", n) {
           val mm = canonicalizeLocal(ids, emb, threshold); (mm, mm.size.toLong)
         }
+        // survivors only — a merged dup's vector would be dropped by the
+        // next sync anyway (and must not enter the embedding store)
+        val keep = ids.indices.filterNot(i => m.contains(ids(i)))
         if (embCache != null) sub("canon_preload", n) {
-          // survivors only — a merged dup's vector would be dropped by the
-          // next sync anyway
-          val keep = ids.indices.filterNot(i => m.contains(ids(i)))
           embCache.preload(keep.map(ids).toArray, keep.map(emb).toArray)
           ((), keep.size.toLong)
         }
-        m
+        val sv = keep.map(i => (ids(i), emb(i))).toDF("vec_id", "embedding")
+        val added = sub("canon_apply", m.size.toLong) {
+          val a = applyMerge(taxo, m); (a, a.size.toLong)
+        }
+        CanonResult(m, added, lin.toSeq, sv, () => ())
       } else {
         // Spark path for rounds that mint concept sets beyond driver scale:
         // distributed embedding, LSH-blocked near-dup pairs + distributed
@@ -531,17 +627,20 @@ object KgPipeline {
               .as[(Long, Long)].collect().toMap
           (m, m.size.toLong)
         }
+        val survivors =
+          if (out.isEmpty) vecs
+          else vecs.join(broadcast(out.keys.toSeq.toDF("vec_id")),
+            Seq("vec_id"), "left_anti")
         // the surviving mint embeddings seed the decide cache: without
         // this the next round's sync re-embeds every surviving mint — a
         // duplicated full model pass per round with a real encoder.
         // Bounded-chunk transfer: toLocalIterator streams one partition at
         // a time, so the driver never double-buffers the full mint payload
-        // on top of the cache's own storage.
+        // on top of the cache's own storage. (The at-scale decide path
+        // passes embCache = null — survivors then reach the next round
+        // only through the checkpointed embedding store, and no vector
+        // ever lands on the driver.)
         if (embCache != null) sub("canon_preload", n) {
-          val survivors =
-            if (out.isEmpty) vecs
-            else vecs.join(broadcast(out.keys.toSeq.toDF("vec_id")),
-              Seq("vec_id"), "left_anti")
           var preloaded = 0L
           survivors.as[(Long, Array[Float])].toLocalIterator().asScala
             .grouped(65536).foreach { chunk =>
@@ -551,13 +650,11 @@ object KgPipeline {
           ((), preloaded)
         }
         pairs.unpersist()
-        vecs.unpersist()
-        out
+        val added = sub("canon_apply", out.size.toLong) {
+          val a = applyMerge(taxo, out); (a, a.size.toLong)
+        }
+        CanonResult(out, added, lin.toSeq, survivors, () => { vecs.unpersist(); () })
       }
-    val added = sub("canon_apply", merge.size.toLong) {
-      val a = applyMerge(taxo, merge); (a, a.size.toLong)
-    }
-    CanonResult(merge, added, lin.toSeq)
   }
 
   /** Driver-side canonicalization twin for round-sized concept sets (the
@@ -757,6 +854,27 @@ object KgPipeline {
         .as[(String, String, Int)].collect().sortBy(s => (s._3, s._1, s._2))
     }
 
+    // distributed (vec_id, embedding) store for the at-scale decide path:
+    // latest full snapshot + subsequent deltas, mirroring the taxonomy
+    // checkpoint scheme. Stays null until a round crosses
+    // distributedRetrieveNodes; a resume whose checkpoint predates the
+    // store (or a run that crosses the threshold mid-flight) rebuilds it
+    // with ONE distributed re-embed pass over the snapshot.
+    var embStore: DataFrame = {
+      val baseEmb = (resumeRound to 1 by -1)
+        .find(i => Files.exists(Paths.get(s"${roundDir(ckptDir, i)}/embeddings")))
+      baseEmb match {
+        case None => null
+        case Some(b) =>
+          var df = spark.read.parquet(s"${roundDir(ckptDir, b)}/embeddings")
+          for (i <- (b + 1) to resumeRound;
+               p = s"${roundDir(ckptDir, i)}/emb_delta"
+               if Files.exists(Paths.get(p)))
+            df = df.union(spark.read.parquet(p))
+          df
+      }
+    }
+
     val mentions = (if (htmlInput) extractMentionsFromHtml(corpus, textCol, cfg.minMentionFreq)
       else extractMentions(corpus, textCol, cfg.minMentionFreq))
       .persist()
@@ -771,6 +889,39 @@ object KgPipeline {
 
     var r = resumeRound + 1
     while (r <= cfg.rounds) {
+      // fail-fast driver bound (see PipelineConfig.maxSnapshotNodes): the
+      // graph side of the snapshot is driver-resident + broadcast by
+      // design; past the bound the heap model no longer holds and the run
+      // must stop with sizing guidance, not OOM opaquely mid-stage
+      if (taxo.numberOfNodes > cfg.maxSnapshotNodes)
+        throw new IllegalStateException(
+          s"taxonomy snapshot has ${taxo.numberOfNodes} nodes > maxSnapshotNodes=" +
+          s"${cfg.maxSnapshotNodes}. The decide stage keeps the graph driver-resident " +
+          "and broadcast (≈1 KB/node per copy, two copies — about " +
+          s"${2 * (cfg.maxSnapshotNodes / 1000000)} GB heap at the configured bound). " +
+          "Raise maxSnapshotNodes and driver heap together (rule of thumb: -Xmx ≥ " +
+          "2 GB per million nodes + working set), or shard the corpus into " +
+          "independent runs. Embeddings are already distributed above " +
+          s"distributedRetrieveNodes=${cfg.distributedRetrieveNodes} and do not " +
+          "contribute to this bound.")
+      // crossover into distributed retrieval without a persisted embedding
+      // store: one distributed re-embed pass over the snapshot builds it
+      // (batch-64 contract; the store is persisted with this round's
+      // checkpoint so the pass never repeats)
+      var embFullWrite = false
+      if (taxo.numberOfNodes > cfg.distributedRetrieveNodes && embStore == null) {
+        val bm = spark.sparkContext.broadcast(models)
+        embStore = taxo.nodes.map(n => (n, taxo.getLabel(n))).toDF("vec_id", "label")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.grouped(64).flatMap { chunk =>
+              chunk.iterator.zip(bm.value.emb.embed(chunk.map(_._2)).iterator)
+                .map { case ((id, _), v) => (id, v) }
+            }
+          }.toDF("vec_id", "embedding").persist()
+        embFullWrite = true
+      }
       // 2. dedupe candidates against taxonomy lexical table + prior rounds.
       // limit() would collapse downstream parallelism to one task, so the
       // candidate batch is re-spread by mention hash before the decide stage
@@ -787,7 +938,8 @@ object KgPipeline {
       }
 
       val withPriors = timed("prior_slice")(candidatesWithPriors(fresh, scoredStore))
-      val result = timed("decide")(decideRound(spark, withPriors, taxo, models, cfg, r, embCache))
+      val result = timed("decide")(
+        decideRound(spark, withPriors, taxo, models, cfg, r, embCache, embStore))
       allLineage ++= result.lineage
 
       // adaptive commit source (the §4.5 driver/distributed pattern): the
@@ -830,8 +982,14 @@ object KgPipeline {
           sameAs += ((l, taxo.getLabel(e), r))
       }
 
+      // once the NEXT round's decide will retrieve distributed, the driver
+      // embedding cache is dead weight — skip the preload so no mint
+      // vector lands on the driver (survivors reach the next round through
+      // the checkpointed store instead)
+      val nextRoundDistributed = taxo.numberOfNodes > cfg.distributedRetrieveNodes
       val canonRes = timed("canonicalize")(
-        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold, embCache, r))
+        canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold,
+          if (nextRoundDistributed) null else embCache, r))
       val merge = canonRes.merge
       val mergeAdded = canonRes.addedEdges
       allLineage ++= canonRes.lineage
@@ -911,6 +1069,25 @@ object KgPipeline {
           result.release()
           scoredStore = scoredStore.union(spark.read.parquet(s"$rd/scored_pairs_delta"))
         }
+        // embedding store (at-scale decide path): this round's merge
+        // SURVIVORS are the per-round delta; a full store snapshot is
+        // written on the crossover round (first build) and on compaction
+        // rounds — the identical delta/compaction scheme the taxonomy and
+        // scored store use, so resume reconstructs all three the same way
+        if (embStore != null) {
+          val survivors = canonRes.survivorVecs.select(col("vec_id"), col("embedding"))
+          if (embFullWrite || compact) {
+            val prev = embStore
+            embStore.union(survivors).write.mode(SaveMode.Overwrite).parquet(s"$rd/embeddings")
+            canonRes.release()
+            prev.unpersist()
+            embStore = spark.read.parquet(s"$rd/embeddings")
+          } else {
+            writeAdaptive(survivors, nodeAdds.size, s"$rd/emb_delta")
+            canonRes.release()
+            embStore = embStore.union(spark.read.parquet(s"$rd/emb_delta"))
+          }
+        } else canonRes.release()
         (result.lineage ++ canonRes.lineage).toDF()
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
         // cumulative provenance (bounded by inserted edges — adaptive too:

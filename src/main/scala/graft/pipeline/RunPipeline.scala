@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.pipeline.RunPipeline
   *          <ckptDir> <pages> <rounds> [cores] [maxCandidates] [minFreq] [corpus]
+  *          [distRetrieveNodes] [maxSnapshotNodes]
   *   corpus = webtext (default) | rand50k — rand50k draws each document's
   *   words uniformly from a 50k-word vocabulary (the ScalingBench dedup
   *   corpus shape), which yields millions of DISTINCT candidate mentions:
@@ -28,6 +29,8 @@ object RunPipeline {
     val maxCands = if (args.length > 4) args(4).toInt else 100
     val minFreq = if (args.length > 5) args(5).toLong else 2L
     val corpusKind = if (args.length > 6) args(6) else "webtext"
+    val distNodes = if (args.length > 7) args(7).toInt else 2000000
+    val maxNodes = if (args.length > 8) args(8).toInt else 8000000
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -66,7 +69,8 @@ object RunPipeline {
       s"heap before: ${heapMb()} MB")
     val result = KgPipeline.run(spark, corpus, textCol, KgPipeline.domainModels(),
       KgPipeline.PipelineConfig(rounds = rounds, maxCandidatesPerRound = maxCands,
-        minMentionFreq = minFreq), ckpt, htmlInput = isHtml)
+        minMentionFreq = minFreq, distributedRetrieveNodes = distNodes,
+        maxSnapshotNodes = maxNodes), ckpt, htmlInput = isHtml)
     println(s"[pipeline] rounds run: ${result.roundsRun}; triples: ${result.triples.count()}; " +
       s"heap after: ${heapMb()} MB")
     result.triples.orderBy("subj", "pred", "obj").show(10, truncate = false)

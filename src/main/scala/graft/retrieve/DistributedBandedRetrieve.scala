@@ -1,0 +1,92 @@
+package graft.retrieve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distributed twin of [[BandedIndex]] probe + rerank for snapshots beyond
+  * the broadcast-index regime (SURVEY.md §7.1 step 3 at 10⁷⁺ concepts).
+  *
+  * The driver [[BandedIndex]] holds every snapshot vector (n·dim·4 B) and
+  * its signatures on the driver and ships a full copy to every executor as
+  * a broadcast — fine at 10⁶×64-dim (~256 MB), ~3 GB at a real encoder's
+  * 768-dim, fatal at 10⁷⁺. This twin keeps the vectors DISTRIBUTED (an
+  * (id, embedding) DataFrame maintained incrementally by the pipeline
+  * checkpoint) and expresses the same probe as a bucket cogroup:
+  *
+  *   1. both sides are signed with the SAME 128-bit RHP family and frozen
+  *      center ([[BandedIndex.signature]] — bucket parity with the driver
+  *      index is by construction, the code is shared);
+  *   2. each vector is exploded to its 8 (band, 16-bit bucket) keys;
+  *   3. a cogroup on the packed band-bucket key computes exact dot-product
+  *      rerank WITHIN each bucket and emits only each query's per-bucket
+  *      top-k (a node in the global top-k is top-k in every bucket it
+  *      shares with the query — fewer than k nodes outscore it anywhere —
+  *      so per-bucket truncation loses nothing);
+  *   4. a final groupBy(query) dedupes multi-band collisions by id and
+  *      merges per-bucket lists into the global (score desc, id asc) top-k
+  *      — the exact [[TopK]] ordering the driver twtwin uses.
+  *
+  * Shuffle cost is O((n + m)·bands) rows of (key, id, vec) plus the skinny
+  * (query, id, score) rerank rows — the vector payload is never joined
+  * per candidate PAIR (at 10⁶ candidates × ~10²-per-query collisions a
+  * pair-level vector join would shuffle hundreds of GB; the cogroup ships
+  * each vector `bands` times regardless of collision count).
+  */
+object DistributedBandedRetrieve {
+  import BandedIndex.{Bands, Rows}
+
+  private def bandBucket(w0: Long, w1: Long, band: Int): Int = {
+    val bit = band * Rows
+    val w = if (bit < 64) w0 else w1
+    ((w >>> (bit & 63)) & 0xFFFFL).toInt
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Top-k seed retrieval: `(mention, seeds: Array[Long])` per candidate,
+    * seeds in (score desc, id asc) rank order — [[BandedIndex.search]]
+    * semantics, possibly fewer than k (empty buckets are the documented
+    * at-scale approximation). Candidates landing in no bucket at all are
+    * absent from the output (join left-outer and treat null as empty). */
+  def seeds(spark: SparkSession, candVecs: DataFrame, nodeVecs: DataFrame,
+            center: Array[Double], dim: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val bCenter = spark.sparkContext.broadcast(center)
+    val nodeKeyed = nodeVecs.as[(Long, Array[Float])].flatMap { case (id, v) =>
+      val (w0, w1) = BandedIndex.signature(v, bCenter.value, dim)
+      (0 until Bands).iterator.map(b => ((b << 16) | bandBucket(w0, w1, b), id, v))
+    }
+    val candKeyed = candVecs.as[(String, Array[Float])].flatMap { case (m, q) =>
+      val (w0, w1) = BandedIndex.signature(q, bCenter.value, dim)
+      (0 until Bands).iterator.map(b => ((b << 16) | bandBucket(w0, w1, b), m, q))
+    }
+    val perBucket = candKeyed.groupByKey(_._1).cogroup(nodeKeyed.groupByKey(_._1)) {
+      (_, qs, ns) =>
+        val nodes = ns.toArray
+        if (nodes.isEmpty) Iterator.empty
+        else qs.flatMap { case (_, m, q) =>
+          val top = new TopK(k)
+          var i = 0
+          while (i < nodes.length) {
+            top.offer(dot(q, nodes(i)._3), nodes(i)._2)
+            i += 1
+          }
+          val (sc, id) = top.result()
+          id.indices.iterator.map(j => (m, id(j), sc(j)))
+        }
+    }
+    perBucket.groupByKey(_._1).mapGroups { (m, rows) =>
+      // multi-band collisions re-score the same (query, node) pair with
+      // the IDENTICAL dot product — dedupe by id before the global merge
+      val seen = new java.util.HashSet[Long]()
+      val top = new TopK(k)
+      for ((_, id, sc) <- rows) if (seen.add(id)) top.offer(sc, id)
+      (m, top.result()._2)
+    }.toDF("mention", "seeds")
+  }
+}

@@ -249,6 +249,77 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows(rResumed.triples) == rows(rFull.triples))
   }
 
+  test("distributed banded retrieval matches the broadcast BandedIndex seed-for-seed") {
+    import spark.implicits._
+    import graft.retrieve.{BandedIndex, DistributedBandedRetrieve}
+    val dim = 64
+    def vec(seed: Long): Array[Float] = {
+      var x = seed
+      Array.fill(dim) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33).toInt % 1000) / 1000.0f - 0.45f
+      }
+    }
+    val n = 3000
+    val ids = (0L until n).toArray
+    val vs = ids.map(vec)
+    val center = {
+      val c = new Array[Double](dim)
+      for (v <- vs; i <- 0 until dim) c(i) += v(i)
+      c.map(_ / n)
+    }
+    val index = new BandedIndex(ids, vs, center)
+    // half near-duplicate queries (guaranteed bucket hits), half random
+    val queries = (0 until 100).map(i => (s"dup$i", vs(i * 17).clone())) ++
+      (0 until 100).map(i => (s"rnd$i", vec(100000L + i)))
+    val k = 5
+    val out = DistributedBandedRetrieve.seeds(spark,
+        queries.toDF("mention", "qvec"), ids.zip(vs).toSeq.toDF("vec_id", "embedding"),
+        center, dim, k)
+      .as[(String, Array[Long])].collect().toMap
+    for ((m, q) <- queries) {
+      val expect = index.search(q, k)._2.toSeq
+      assert(out.get(m).map(_.toSeq).getOrElse(Nil) == expect, s"query $m")
+    }
+    assert(queries.count { case (m, _) => out.get(m).exists(_.nonEmpty) } >= 100)
+  }
+
+  test("distributed-retrieve decide path is deterministic and resumable (the 10^7 escape hatch)") {
+    import spark.implicits._
+    def dcfg(rounds: Int) = cfg(rounds).copy(distributedRetrieveNodes = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "src_round", "lineage")
+        .as[(String, String, String, Int, String)].collect().sortBy(_.toString).toSeq
+    val c1 = Files.createTempDirectory("kgd1").toString
+    val c2 = Files.createTempDirectory("kgd2").toString
+    val part = Files.createTempDirectory("kgdp").toString
+    val r1 = KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(), dcfg(2), c1)
+    // crossover round writes the full embedding store; later rounds deltas
+    assert(Files.exists(java.nio.file.Paths.get(s"$c1/round=1/embeddings")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$c1/round=2/emb_delta")))
+    // the distributed path emits retrieve_dist lineage, not index_build
+    assert(r1.lineage.filter(col("stage") === "retrieve_dist").count() == 2)
+    assert(r1.lineage.filter(col("stage") === "index_build").count() == 0)
+    val r2 = KgPipeline.run(spark, corpus(300, 7), "text", KgPipeline.domainModels(), dcfg(2), c2)
+    assert(rows(r1.triples) == rows(r2.triples), "distributed decide must be deterministic")
+    assert(rows(r1.triples).nonEmpty)
+    // kill after round 1 → resume: the store + frozen center reload from
+    // the checkpoint and the result is full-row identical
+    KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(), dcfg(1), part)
+    val rR = KgPipeline.run(spark, corpus(300, 4), "text", KgPipeline.domainModels(), dcfg(2), part)
+    assert(rows(rR.triples) == rows(r1.triples))
+  }
+
+  test("maxSnapshotNodes bound fails fast with sizing guidance") {
+    val ckpt = Files.createTempDirectory("kgbound").toString
+    val e = intercept[IllegalStateException] {
+      KgPipeline.run(spark, corpus(100, 2), "text", KgPipeline.domainModels(),
+        cfg(1).copy(maxSnapshotNodes = 10), ckpt)
+    }
+    assert(e.getMessage.contains("maxSnapshotNodes"))
+    assert(e.getMessage.contains("-Xmx"))
+  }
+
   test("resume from a GENUINE pre-delta-format checkpoint (full nodes/edges, no seq column)") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths => JPaths}
