@@ -220,6 +220,129 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     logs(target) = winner
   }
 
+  /** Masked search for the bulk-synchronous move round: identical to
+    * [[search]] except `masked` is pre-visited, so the traversal never
+    * scores or expands it — the frozen-snapshot equivalent of the
+    * sequential engine's detach (the target cannot become its own new
+    * parent). */
+  private def searchMasked(taxo: MutableTaxo, query: String,
+                           masked: Long): LinkedHashMap[Long, Double] = {
+    var sup = LinkedHashMap.empty[Long, Double]
+    val top = taxo.getGCD(Nil).filterNot(_ == masked)
+    val queue = mutable.Queue[(Long, Int)](top.map(n => (n, 0)): _*)
+    if (top.nonEmpty) scoreCache.prefetch(top.map(n => (query, taxo.getLabel(n))))
+    val visited = mutable.HashSet[Long](masked)
+    while (queue.nonEmpty) {
+      val (node, fails) = queue.dequeue()
+      visited += node
+      val toCache = ArrayBuffer.empty[String]
+      val p = if (node == 0L) 1.0 else scoreCache.get(query, taxo.getLabel(node))
+      if (p >= config.threshold) {
+        sup(node) = p
+        for (child <- taxo.getChildren(node) if !visited.contains(child)) {
+          queue.enqueue((child, 0)); toCache += taxo.getLabel(child)
+        }
+        if (toCache.nonEmpty) scoreCache.prefetch(toCache.toSeq.map(l => (query, l)))
+      } else if (fails < config.tolerance) {
+        for (child <- taxo.getChildren(node) if !visited.contains(child)) {
+          queue.enqueue((child, fails + 1)); toCache += taxo.getLabel(child)
+        }
+        if (toCache.nonEmpty) scoreCache.prefetch(toCache.toSeq.map(l => (query, l)))
+      } else if (config.forcePrune) {
+        taxo.getDescendants(node).foreach(visited += _)
+      }
+    }
+    if (sup.isEmpty) return sup
+    val supAncestors = mutable.HashSet.empty[Long]
+    for (s <- sup.keys) supAncestors ++= taxo.getAncestors(s)
+    sup = sup.filter { case (k, _) => !supAncestors.contains(k) }
+    if (config.alwaysSearchToBottom) {
+      val bottom = taxo.getLCA(Nil).toSet
+      sup = sup.filter { case (k, _) => bottom.contains(k) }
+    }
+    sup
+  }
+
+  /** Masked sibling means: the target is excluded from every candidate's
+    * child list, as it would be after the sequential engine's detach. */
+  private def evaluateSiblingsMasked(query: String, candidates: Seq[Long],
+                                     masked: Long): Seq[Double] =
+    candidates.map { c =>
+      val siblings = working.getChildren(c).filterNot(_ == masked)
+      if (siblings.isEmpty) 0.0
+      else siblings.map(s => similarity(Right(query), Left(s))).sum / siblings.size
+    }
+
+  private def selectMasked(query: String, candidates: Seq[Long], masked: Long,
+                           nWinner: Int = 1): Seq[Long] = {
+    require(config.selectionFeatures.nonEmpty, "No selection feature is specified.")
+    require(config.selectionFeatures.size == config.weights.size,
+      "The size of weights must match the number of used features.")
+    val featureScores: Seq[Seq[Double]] = config.selectionFeatures.map {
+      case "parent" => evaluateParent(query, candidates)
+      case "siblings" => evaluateSiblingsMasked(query, candidates, masked)
+      case f => throw new IllegalArgumentException(s"Invalid selection feature: $f")
+    }
+    val finalScores = candidates.indices.map { i =>
+      config.selectionFeatures.indices.map(j => featureScores(j)(i) * config.weights(j)).sum
+    }
+    candidates.indices.sortBy(finalScores).reverse.take(nWinner).map(candidates)
+  }
+
+  /** Bulk-synchronous, NON-MUTATING examine for the pipeline's distributed
+    * move round (KgPipeline): computes the move decision for `target`
+    * against the frozen `working` snapshot with the target MASKED from the
+    * traversal and from sibling means, instead of physically detaching it.
+    * Returns (winners, oldParents); winners == oldParents means keep (or
+    * re-attach when no candidate was found). Divergence from the
+    * sequential C7/C9 path, documented like the insert round's
+    * (SURVEY.md §7.4.2): search-space LEVELS are computed with the target
+    * still attached, and decisions within a batch do not observe each
+    * other's moves — the commit applies them in deterministic target order
+    * with cycle screening. Callers must set `working` (a shared broadcast
+    * snapshot is safe — nothing mutates). */
+  def examineFrozen(target: Long): (Seq[Long], Seq[Long]) = {
+    val oldParents = working.getParents(target)
+    if (target == 0L || oldParents.isEmpty) return (oldParents, oldParents)
+    val label = working.getLabel(target)
+    var candidates: Seq[Long] = (config.method match {
+      case "search" =>
+        // the search space depends only on (working, config) — under
+        // frozen semantics it is target-independent, so it is built ONCE
+        // per engine instance (the sequential C7 path must rebuild per
+        // target because its moves mutate the taxonomy)
+        if (frozenSpace == null)
+          frozenSpace = working.createMoveSearchSpace(
+            config.scopeTopLevel, config.scopeBottomLevel)
+        searchMasked(frozenSpace, label, target).keys.toSeq
+      case _ => rag(label, oldParents)
+    }).filterNot(_ == target)
+    if (config.alwaysIncludeOld)
+      candidates = (mutable.LinkedHashSet(candidates: _*) ++ oldParents).toSeq
+    if (candidates.isEmpty) (oldParents, oldParents)
+    else {
+      val winner =
+        if (config.doSelect && candidates.size > 1) selectMasked(label, candidates, target)
+        else candidates
+      (winner, oldParents)
+    }
+  }
+
+  /** Set up for [[examineFrozen]] over a frozen snapshot (no deep copy —
+    * nothing mutates): assigns `working` and builds the vector index only
+    * if the config needs it (rag retrieval or the siblings feature). */
+  private var frozenSpace: MutableTaxo = null
+
+  def prepareFrozen(snapshot: MutableTaxo): Unit = {
+    working = snapshot
+    frozenSpace = null
+    if (config.method == "rag" || config.selectionFeatures.contains("siblings")) {
+      val ns = working.nodes.toArray
+      index = new VectorIndex(ns, models.emb.embedBatched(ns.map(working.getLabel).toSeq))
+    }
+    if (config.method == "rag" && !config.doUpdate) cacheRagEligibility()
+  }
+
   /** C9 auto/manual/run (category_move.py:320-424). */
   def run(data: MutableTaxo): MutableTaxo = {
     working = data.deepCopy()

@@ -79,7 +79,15 @@ object KgPipeline {
       // union chain (≤ k branches before a full rewrite resets it), so
       // "never compact" would grow the plan without bound. k = 1 restores
       // the round-3 full-rewrite-every-round behavior.
-      compactEvery: Int = 8) extends Serializable {
+      compactEvery: Int = 8,
+      // optional category-move pass (C1-C9) over the finished taxonomy:
+      // concepts minted from the mention stream are re-examined and
+      // re-parented with `moved` edges. Runs as a distributed
+      // bulk-synchronous round (examineFrozen against the broadcast final
+      // snapshot; deterministic target-order commit with cycle screening)
+      // and checkpoints its decisions before applying, so kill+resume
+      // replays them bit-identically instead of recomputing.
+      move: Option[graft.core.MoveConfig] = None) extends Serializable {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
   }
 
@@ -613,15 +621,26 @@ object KgPipeline {
         // mints this merge targets (cos ≈ 1) — borderline-threshold pairs
         // are sampled, the documented approximation vs the exact ≤10⁴
         // driver path.
+        var nPairs = 0L
         val pairs = sub("canon_pairs", n) {
           val p = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold,
               bits = 256, bands = 8)
             .select(col("a"), col("b")).persist()
-          (p, p.count())
+          nPairs = p.count()
+          (p, nPairs)
         }
         val out = sub("canon_cc", n) {
+          // CC cost scales with the PAIR set, not the mint count — at a
+          // 0.98 threshold even a 10⁶ mint yields only ~10²-10³ near-dup
+          // pairs, and the distributed fixpoint's per-iteration job
+          // overhead dominated the §9i drive (108 s for 42 pairs while
+          // the cluster was loaded). Round-sized pair sets union-find on
+          // the driver (the §4.5 adaptive pattern); the distributed
+          // fixpoint remains for genuinely merge-heavy rounds.
           val m =
-            if (pairs.isEmpty) Map.empty[Long, Long]
+            if (nPairs == 0) Map.empty[Long, Long]
+            else if (nPairs <= 1000000)
+              unionFindMinId(pairs.as[(Long, Long)].collect())
             else GraphOps.connectedComponents(pairs)
               .filter(col("node") =!= col("component"))
               .as[(Long, Long)].collect().toMap
@@ -665,6 +684,23 @@ object KgPipeline {
                         models: IconModels, threshold: Double): Map[Long, Long] =
     canonicalizeLocal(newConcepts.map(_._2).toArray,
       models.emb.embedBatched(newConcepts.map(_._1)), threshold)
+
+  /** Min-id union-find over an explicit pair list: dup -> canonical map for
+    * every non-root member. Same semantics as the distributed
+    * connectedComponents + min-component filter it stands in for. */
+  private[graft] def unionFindMinId(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).filter { case (a, b) => a != b }.toMap
+  }
 
   private def canonicalizeLocal(ids: Array[Long], emb: Array[Array[Float]],
                                 threshold: Double): Map[Long, Long] = {
@@ -1128,6 +1164,66 @@ object KgPipeline {
       taxo.succ(u)(v) = l; taxo.pred(v)(u) = l
     }
 
+    // optional category-move round over the finished taxonomy (C1-C9 at
+    // pipeline scale): distributed frozen-snapshot examine, decisions
+    // checkpointed BEFORE the apply so a resumed run replays them instead
+    // of recomputing (and a crash before the move recomputes them
+    // deterministically from the resumed taxonomy)
+    for (mcfg <- cfg.move) timed("move") {
+      val mdir = s"$ckptDir/move"
+      val marker = Paths.get(s"$mdir/COMMIT")
+      val decisions: Seq[(Long, Seq[Long], Seq[Long])] =
+        if (Files.exists(marker))
+          spark.read.parquet(s"$mdir/decisions")
+            .select(col("seq"), col("target"), col("winners"), col("oldParents"))
+            .as[(Long, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+            .map(d => (d._2, d._3, d._4)).toSeq
+        else {
+          // move candidates come from the mention stream: bottom concepts
+          // the pipeline minted (seed leaves are excluded — they are the
+          // curated skeleton), C9 auto-mode order + cap semantics
+          val seedIds = seed.nodes.toSet
+          val targets0: Seq[Long] = mcfg.mode match {
+            case "auto" =>
+              taxo.bottomNodes.filterNot(seedIds.contains).filterNot(mcfg.ignore.contains)
+            case _ => mcfg.inputConcepts
+          }
+          val targets = mcfg.maxOuterLoop.map(targets0.take).getOrElse(targets0)
+          val bTaxoF = spark.sparkContext.broadcast(taxo)
+          val bModelsF = spark.sparkContext.broadcast(models)
+          val ds = targets.toDF("target")
+            .repartition(spark.sparkContext.defaultParallelism, col("target"))
+            .as[Long]
+            .mapPartitions { it =>
+              val engine = new graft.core.CategoryMoveEngine(bModelsF.value, mcfg)
+              engine.prepareFrozen(bTaxoF.value)
+              it.map { t => val (w, o) = engine.examineFrozen(t); (t, w, o) }
+            }.collect().sortBy(_._1).toSeq
+          Files.createDirectories(Paths.get(mdir))
+          ds.zipWithIndex.map { case ((t, w, o), k) => (k.toLong, t, w, o) }
+            .toDF("seq", "target", "winners", "oldParents")
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$mdir/decisions")
+          Files.write(marker, Array.emptyByteArray)
+          ds
+        }
+      // deterministic target-order commit: detach old parents, attach
+      // winners as `moved` (cycle-screened; a winner lost to a cycle or a
+      // fully-failed target falls back to its old parents, C7 semantics)
+      for ((t, winners, old) <- decisions if taxo.containsNode(t)) {
+        for (p <- old if taxo.containsEdge(t, p)) taxo.removeEdge(t, p)
+        var landed = 0
+        for (w <- winners if taxo.containsNode(w) && w != t) {
+          try { taxo.addEdge(t, w, "moved"); landed += 1 }
+          catch { case _: CycleException => }
+        }
+        if (landed == 0)
+          for (p <- old if taxo.containsNode(p)) {
+            try { taxo.addEdge(t, p, "moved"); () }
+            catch { case _: CycleException => }
+          }
+      }
+    }
+
     // O(1) provenance lookup; getOrElseUpdate keeps the FIRST round an
     // edge was minted in (same as the linear find this replaces)
     val roundOf = mutable.HashMap.empty[(Long, Long), Int]
@@ -1135,8 +1231,13 @@ object KgPipeline {
     val isA = taxo.edges.filter(_._3 == "new")
       .map { case (u, v, _) => (taxo.getLabel(u), "isA", taxo.getLabel(v),
         roundOf.getOrElse((u, v), 0), "new") }
+    // `moved` edges from the optional move round: src_round = rounds + 1
+    // (the move is a distinct post-insert phase)
+    val movedT = taxo.edges.filter(_._3 == "moved")
+      .map { case (u, v, _) => (taxo.getLabel(u), "isA", taxo.getLabel(v),
+        cfg.rounds + 1, "moved") }
     val same = sameAs.map { case (a, b, rr) => (a, "sameAs", b, rr, "eqv") }.toSeq
-    val triples = (isA ++ same).toDF("subj", "pred", "obj", "src_round", "lineage")
+    val triples = (isA ++ movedT ++ same).toDF("subj", "pred", "obj", "src_round", "lineage")
     triples.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ckptDir/triples")
     val lineageDF = allLineage.toSeq.toDF()
     RunResult(taxo, triples, lineageDF, cfg.rounds - resumeRound)

@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   * Prints driver-heap telemetry per run so candidate-scale drives can
   * evidence flat driver memory.
   */
+/** Latency-injecting embedder for the real-encoder dress rehearsal
+  * (`GRAFT_EMBED_LATENCY_MS`): every model invocation sleeps a fixed
+  * delay, emulating a remote encoder's per-batch round trip. Invocation
+  * and label counters live in the companion (same-JVM executors under
+  * local[*]), so a drive can check measured wall ≈ calls × latency — the
+  * end-to-end proof that the batch-64 contract + incremental index keep
+  * model-call counts at the predicted minimum. */
+class LatencyEmbedder(inner: graft.models.Embedder, delayMs: Long)
+    extends graft.models.Embedder {
+  def dim: Int = inner.dim
+  def embed(labels: Seq[String]): Array[Array[Float]] = {
+    LatencyEmbedder.calls.incrementAndGet()
+    LatencyEmbedder.labels.addAndGet(labels.size)
+    if (delayMs > 0) Thread.sleep(delayMs)
+    inner.embed(labels)
+  }
+}
+object LatencyEmbedder {
+  val calls = new java.util.concurrent.atomic.AtomicLong
+  val labels = new java.util.concurrent.atomic.AtomicLong
+}
+
 object RunPipeline {
   def main(args: Array[String]): Unit = {
     val ckpt = args(0)
@@ -67,12 +89,30 @@ object RunPipeline {
     }
     println(s"[pipeline] resume point: round ${KgPipeline.lastCompleteRound(ckpt)}; " +
       s"heap before: ${heapMb()} MB")
-    val result = KgPipeline.run(spark, corpus, textCol, KgPipeline.domainModels(),
+    val embedLatencyMs = sys.env.get("GRAFT_EMBED_LATENCY_MS").map(_.toLong).getOrElse(0L)
+    val baseModels = KgPipeline.domainModels()
+    val models =
+      if (embedLatencyMs > 0)
+        baseModels.copy(emb = new LatencyEmbedder(baseModels.emb, embedLatencyMs))
+      else baseModels
+    // GRAFT_MOVE=<maxTargets>: append a category-move round (C1-C9 at
+    // pipeline scale) over the minted bottom concepts, search-method +
+    // parent feature (driver-index-free), capped at maxTargets
+    val moveCfg = sys.env.get("GRAFT_MOVE").map(_.toInt).map(cap =>
+      graft.core.MoveConfig(mode = "auto", method = "search",
+        selectionFeatures = Seq("parent"), weights = Seq(1.0),
+        threshold = 0.3, maxOuterLoop = Some(cap)))
+    val result = KgPipeline.run(spark, corpus, textCol, models,
       KgPipeline.PipelineConfig(rounds = rounds, maxCandidatesPerRound = maxCands,
         minMentionFreq = minFreq, distributedRetrieveNodes = distNodes,
-        maxSnapshotNodes = maxNodes), ckpt, htmlInput = isHtml)
+        maxSnapshotNodes = maxNodes, move = moveCfg), ckpt, htmlInput = isHtml)
     println(s"[pipeline] rounds run: ${result.roundsRun}; triples: ${result.triples.count()}; " +
       s"heap after: ${heapMb()} MB")
+    if (embedLatencyMs > 0)
+      println(s"[pipeline] embedder: ${LatencyEmbedder.calls.get()} invocations / " +
+        s"${LatencyEmbedder.labels.get()} labels at ${embedLatencyMs} ms/invocation -> " +
+        f"${LatencyEmbedder.calls.get() * embedLatencyMs / 1000.0}%.1f s serial model wall " +
+        "(divide by occupied cores for the parallel floor)")
     result.triples.orderBy("subj", "pred", "obj").show(10, truncate = false)
     spark.stop()
   }
