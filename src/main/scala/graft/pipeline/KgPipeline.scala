@@ -1152,8 +1152,6 @@ object KgPipeline {
       r += 1
     }
     mentions.unpersist()
-    if (sys.env.contains("GRAFT_PHASE_TIMES"))
-      println(phase.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{\"phases\":{", ",", "}}"))
 
     // final: transitive reduction, preserving seed edges (icon.py:610-614)
     val seed = seedTaxo()
@@ -1223,6 +1221,9 @@ object KgPipeline {
           }
       }
     }
+
+    if (sys.env.contains("GRAFT_PHASE_TIMES"))
+      println(phase.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{\"phases\":{", ",", "}}"))
 
     // O(1) provenance lookup; getOrElseUpdate keeps the FIRST round an
     // edge was minted in (same as the linear find this replaces)
