@@ -142,6 +142,14 @@ object ScalingBench {
       r
     }
     val exact = t("exact")(TextOps.exactDuplicates(docs).count())
+    // diagnostic split of the minhash phase (signature scan vs banded
+    // self-join vs full pairs-with-verification) — extra passes recompute
+    // the earlier stages, so the split run is for attribution only, never
+    // for the family total
+    if (sys.env.contains("GRAFT_MINHASH_SPLIT")) {
+      t("mh_sigs")(TextOps.minhashSignatures(docs, "text", 3, 128).count())
+      t("mh_cands")(TextOps.minhashCandidates(docs, "text", 3, 128, 16).count())
+    }
     val mh = t("minhash")(TextOps.minhashPairs(docs, k = 3, numHashes = 128, bands = 16,
       threshold = 0.9).count())
     val sh = t("simhash")(TextOps.simhashPairs(docs, maxDist = 3).count())

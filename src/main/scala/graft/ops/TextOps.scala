@@ -175,7 +175,8 @@ object TextOps {
     * banding sweep (graft.MinHashSweepBench) can measure candidate-pair
     * rate per (numHashes, bands) config separately from banding recall. */
   def minhashCandidates(df: DataFrame, textCol: String = "text", k: Int = 3,
-                        numHashes: Int = 128, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 128, bands: Int = 16,
+                        postingListPlan: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // the band index is mixed INTO the bucket hash: a single 8-byte join
@@ -187,21 +188,43 @@ object TextOps {
       .withColumn("bucket",
         xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
       .select(col("doc_id"), col("bucket"))
-    // Self-join on the bucket key. Spark reuses the single exchange for
-    // both sides (identical subplan → ReusedExchange), so this is already
-    // one shuffle of the banded table. A posting-list rewrite
-    // (collect_list + double explode, the q13 pattern) was tried and
-    // REVERTED: the first explode carries the whole id array into every
-    // output row — O(|list|²) bytes materialized per bucket — which
-    // regressed the rows=1 oracle setting (few, giant buckets) 3× while
-    // winning nothing here; q13's version survives because maxShingleFreq
-    // caps its list sizes. The verification prune below is where the
-    // measured round-3 win lives.
-    banded.as("x").join(banded.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // Candidate generation, two plans by banding geometry:
+    //
+    // rows < 4 (e.g. q14's oracle-exact 128/128, rows = 1): bucket keys
+    // have low entropy → few, GIANT buckets. A posting-list rewrite here
+    // carries the whole id array into every exploded row — O(|list|²)
+    // bytes per bucket — measured 3× WORSE in round 3 and reverted; the
+    // self-join's single reused exchange (identical subplan →
+    // ReusedExchange) is the right plan.
+    //
+    // rows ≥ 4 (the production 128/16, rows = 8, recall-swept §9): bucket
+    // keys are effectively unique per near-dup cluster, so posting lists
+    // are tiny (dup-cluster-sized) and ~99% of buckets are singletons. A
+    // groupBy(bucket) posting-list plan shuffles the same banded rows
+    // ONCE, drops singleton buckets BEFORE pair generation, and skips the
+    // join's second exchange read + hash-relation build. `maxBucketSize`
+    // is the skew guard (the q13 maxShingleFreq pattern): an adversarial
+    // equal-signature flood truncates deterministically (id-sorted) to
+    // cap the quadratic explode; dup-cluster buckets are orders of
+    // magnitude below it.
+    if (postingListPlan.getOrElse(rows >= 4)) {
+      val maxBucketSize = 1024
+      banded.groupBy(col("bucket"))
+        .agg(slice(array_sort(collect_list(col("doc_id"))), 1, maxBucketSize).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          // interpreted HOFs are fine HERE: only non-singleton buckets
+          // survive the filter and their lists are dup-cluster-sized
+          "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+    } else {
+      banded.as("x").join(banded.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    }
   }
 
   def minhashPairs(df: DataFrame, textCol: String = "text", k: Int = 3,

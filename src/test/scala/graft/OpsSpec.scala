@@ -16,6 +16,22 @@ class OpsSpec extends SparkSpecBase {
     assert(dups == Set((1L, 1L, 3L), (2L, 1L, 3L), (4L, 1L, 3L)))
   }
 
+  test("posting-list banded candidates equal the self-join plan (rows >= 4)") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0L until 40L).map(i => (i, s"$base doc$i unique tail $i")) ++
+      Seq((100L, base + " shared tail xyz"), (101L, base + " shared tail xyz"),
+        (102L, base + " shared tail xyz"), (200L, "totally different text here now")))
+      .toDF("doc_id", "text")
+    def pairs(pl: Boolean) = graft.ops.TextOps
+      .minhashCandidates(docs, "text", 3, 128, 16, postingListPlan = Some(pl))
+      .as[(Long, Long)].collect().toSet
+    val a = pairs(true)
+    val b = pairs(false)
+    assert(a == b, s"posting=$a selfjoin=$b")
+    assert(a.contains((100L, 101L)) && a.contains((100L, 102L)))
+  }
+
   test("jaccard pairs find near-duplicates and minhash agrees") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
