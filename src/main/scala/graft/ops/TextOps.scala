@@ -208,15 +208,33 @@ object TextOps {
     // cap the quadratic explode; dup-cluster buckets are orders of
     // magnitude below it.
     if (postingListPlan.getOrElse(rows >= 4)) {
+      // skew guard: full quadratic pairs within the first maxBucketSize
+      // ids (deterministic, id-sorted), STAR edges (min-id, y) beyond it —
+      // every member of an oversized cluster still surfaces as a verified
+      // duplicate of the cluster's representative, without materializing
+      // an O(|bucket|²) pair list for a 10⁵-member boilerplate cluster
+      // (the self-join would stream those pairs but also verify every one
+      // of them — quadratic WORK either way; the star keeps dedup
+      // connectivity at linear cost). Dup-cluster buckets at the rows ≥ 4
+      // geometries this plan serves are orders of magnitude below the cap.
       val maxBucketSize = 1024
       banded.groupBy(col("bucket"))
-        .agg(slice(array_sort(collect_list(col("doc_id"))), 1, maxBucketSize).as("ids"))
-        .filter(size(col("ids")) >= 2)
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids0"))
+        .filter(size(col("ids0")) >= 2)
+        .withColumn("ids", slice(col("ids0"), 1, maxBucketSize))
         .select(explode(expr(
           // interpreted HOFs are fine HERE: only non-singleton buckets
           // survive the filter and their lists are dup-cluster-sized
-          "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))")).as("p"))
+          "concat(" +
+            "flatten(transform(ids, (x, i) -> " +
+            "  transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y)))), " +
+            s"transform(slice(ids0, ${maxBucketSize + 1}, size(ids0)), " +
+            "  y -> named_struct('a', element_at(ids, 1), 'b', y)))")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
+        // two bands of one doc can collide into the same 64-bit bucket
+        // value, putting the doc in a list twice — the self-join's
+        // x.doc_id < y.doc_id predicate excluded the resulting self-pair
+        .filter(col("a") =!= col("b"))
         .distinct()
     } else {
       banded.as("x").join(banded.as("y"),

@@ -287,7 +287,8 @@ object KgPipeline {
   def decideRound(spark: SparkSession, candidates: DataFrame, taxo: MutableTaxo,
                   models: IconModels, cfg: PipelineConfig, round: Int,
                   embCache: graft.retrieve.SnapshotEmbeddings = null,
-                  embStore: DataFrame = null): RoundResult = {
+                  embStore: DataFrame = null,
+                  candLabels: DataFrame = null): RoundResult = {
     import spark.implicits._
     val sc = spark.sparkContext
     val bTaxo = sc.broadcast(taxo)
@@ -382,8 +383,13 @@ object KgPipeline {
           cache.restoreCenter(c, nodeIds.length)
           c
         }
-        // candidate embeddings: distributed, batch-64 model contract (M1)
-        val candVecs = candidates.select(col("mention")).as[String]
+        // candidate embeddings: distributed, batch-64 model contract (M1).
+        // Embed from the PRE-priors-join mention list when the caller
+        // provides it — selecting mentions out of the joined candidates
+        // would re-execute the O(history) prior-slice join just to list
+        // strings (Spark does not prune a left-outer join from the plan)
+        val candVecs = (if (candLabels != null) candLabels else candidates)
+          .select(col("mention")).as[String]
           .mapPartitions { it =>
             val emb = bModels.value.emb
             it.grouped(64).flatMap(chunk => chunk.iterator.zip(emb.embed(chunk).iterator))
@@ -975,7 +981,8 @@ object KgPipeline {
 
       val withPriors = timed("prior_slice")(candidatesWithPriors(fresh, scoredStore))
       val result = timed("decide")(
-        decideRound(spark, withPriors, taxo, models, cfg, r, embCache, embStore))
+        decideRound(spark, withPriors, taxo, models, cfg, r, embCache, embStore,
+          candLabels = fresh.select(col("mention"))))
       allLineage ++= result.lineage
 
       // adaptive commit source (the §4.5 driver/distributed pattern): the
@@ -1170,8 +1177,28 @@ object KgPipeline {
     for (mcfg <- cfg.move) timed("move") {
       val mdir = s"$ckptDir/move"
       val marker = Paths.get(s"$mdir/COMMIT")
+      // the marker records WHICH taxonomy the decisions were computed
+      // against (the insert-round count): extending a completed
+      // checkpoint with more rounds must recompute the move on the new
+      // taxonomy, not replay decisions about leaves that may no longer
+      // be the mint frontier
+      val markerValid = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8").trim == cfg.rounds.toString
+      // per-partition engines embed the whole snapshot when the config
+      // needs a vector index (rag retrieval / the siblings feature,
+      // which is in MoveConfig's DEFAULT features) — defaultParallelism
+      // full model passes over n labels. Fine at reference scale,
+      // ruinous on a minted 10⁶⁺ snapshot: fail fast with guidance.
+      if ((mcfg.method == "rag" || mcfg.selectionFeatures.contains("siblings")) &&
+          taxo.numberOfNodes > 100000)
+        throw new IllegalStateException(
+          s"pipeline move with method='${mcfg.method}' / features=" +
+          s"${mcfg.selectionFeatures.mkString(",")} builds a full vector index " +
+          s"PER PARTITION (embedding all ${taxo.numberOfNodes} labels per task). " +
+          "Above 100k nodes use method='search' with selectionFeatures=Seq(\"parent\") " +
+          "(index-free), or cap the taxonomy.")
       val decisions: Seq[(Long, Seq[Long], Seq[Long])] =
-        if (Files.exists(marker))
+        if (markerValid)
           spark.read.parquet(s"$mdir/decisions")
             .select(col("seq"), col("target"), col("winners"), col("oldParents"))
             .as[(Long, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
@@ -1201,7 +1228,7 @@ object KgPipeline {
           ds.zipWithIndex.map { case ((t, w, o), k) => (k.toLong, t, w, o) }
             .toDF("seq", "target", "winners", "oldParents")
             .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$mdir/decisions")
-          Files.write(marker, Array.emptyByteArray)
+          Files.write(marker, cfg.rounds.toString.getBytes("UTF-8"))
           ds
         }
       // deterministic target-order commit: detach old parents, attach

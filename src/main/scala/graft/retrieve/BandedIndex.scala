@@ -38,13 +38,7 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
   val dim: Int = if (vectors.isEmpty) 0 else vectors(0).length
   private val n = ids.length
 
-  import BandedIndex.{Bits, Bands, Rows, Buckets}
-
-  private def bandBucket(w0: Long, w1: Long, band: Int): Int = {
-    val bit = band * Rows
-    val w = if (bit < 64) w0 else w1
-    ((w >>> (bit & 63)) & 0xFFFFL).toInt
-  }
+  import BandedIndex.{Bands, Buckets, bandBucket}
 
   // per-band counting-sort layout: starts(band)(bucket) .. starts(band)(bucket+1)
   // index into members(band) — built once, O(n) per band
@@ -83,14 +77,6 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
   // query-side signature needs the center after broadcast deserialization
   private val centerKept: Array[Double] = center
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
-    val m = math.min(a.length, b.length)
-    while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
-
   /** Banded probe + exact inner-product rerank; (score desc, id asc), at
     * most k results, possibly fewer (empty buckets). */
   def search(query: Array[Float], k: Int): (Array[Double], Array[Long]) = {
@@ -109,7 +95,7 @@ class BandedIndex(val ids: Array[Long], val vectors: Array[Array[Float]],
     val top = new TopK(k)
     while (it.hasNext) {
       val i = it.next().intValue()
-      top.offer(dot(query, vectors(i)), ids(i))
+      top.offer(BandedIndex.dot(query, vectors(i)), ids(i))
     }
     top.result()
   }
@@ -120,6 +106,26 @@ object BandedIndex {
   val Bands = 8
   val Rows = 16 // 2^16 buckets per band; counting sort in the constructor
   val Buckets: Int = 1 << Rows
+
+  /** 16-bit bucket of `band` from the packed signature words — the ONE
+    * banding-geometry decoder, shared by the driver index and the
+    * distributed cogroup twin so the two regimes provably probe identical
+    * buckets. */
+  def bandBucket(w0: Long, w1: Long, band: Int): Int = {
+    val bit = band * Rows
+    val w = if (bit < 64) w0 else w1
+    ((w >>> (bit & 63)) & 0xFFFFL).toInt
+  }
+
+  /** Min-length float64-accumulated inner product — the rerank kernel
+    * shared by both regimes (identical score, identical ordering). */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
 
   // ±1 planes, deterministic from the shared rhpSign family, memoized per
   // dim (the plane table is ~64 KB at dim 64; instances and the incremental

@@ -32,21 +32,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * each vector `bands` times regardless of collision count).
   */
 object DistributedBandedRetrieve {
-  import BandedIndex.{Bands, Rows}
+  import BandedIndex.{Bands, bandBucket, dot}
 
-  private def bandBucket(w0: Long, w1: Long, band: Int): Int = {
-    val bit = band * Rows
-    val w = if (bit < 64) w0 else w1
-    ((w >>> (bit & 63)) & 0xFFFFL).toInt
-  }
-
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
-    val m = math.min(a.length, b.length)
-    while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  /** Per-bucket node cap (see the cogroup comment): ~50-400× the expected
+    * occupancy at 10⁷ nodes, bounding a degenerate bucket's task memory
+    * at MaxBucketNodes·dim·4 B. */
+  val MaxBucketNodes = 65536
 
   /** Top-k seed retrieval: `(mention, seeds: Array[Long])` per candidate,
     * seeds in (score desc, id asc) rank order — [[BandedIndex.search]]
@@ -67,17 +58,36 @@ object DistributedBandedRetrieve {
     }
     val perBucket = candKeyed.groupByKey(_._1).cogroup(nodeKeyed.groupByKey(_._1)) {
       (_, qs, ns) =>
-        val nodes = ns.toArray
-        if (nodes.isEmpty) Iterator.empty
-        else qs.flatMap { case (_, m, q) =>
-          val top = new TopK(k)
-          var i = 0
-          while (i < nodes.length) {
-            top.offer(dot(q, nodes(i)._3), nodes(i)._2)
-            i += 1
+        // bounded bucket materialization (skew guard, the maxShingleFreq/
+        // maxBucketSize pattern): a degenerate bucket — many near-identical
+        // embeddings sharing one signature — would otherwise buffer an
+        // unbounded fraction of the snapshot's vectors in one task. Retain
+        // the MaxBucketNodes smallest-id members (bounded max-heap by id:
+        // DETERMINISTIC regardless of cogroup arrival order, unlike a
+        // take()-style truncation). Expected occupancy is n·bands/2¹⁶
+        // (~10²-10³ at 10⁷ nodes) — only degenerate buckets hit the cap,
+        // and truncation there is the same documented approximation class
+        // as an empty-bucket miss.
+        val heap = new java.util.PriorityQueue[(Long, Array[Float])](
+          16, (a: (Long, Array[Float]), b: (Long, Array[Float])) =>
+            java.lang.Long.compare(b._1, a._1))
+        for ((_, id, v) <- ns) {
+          if (heap.size < MaxBucketNodes) heap.add((id, v))
+          else if (id < heap.peek()._1) { heap.poll(); heap.add((id, v)) }
+        }
+        if (heap.isEmpty) Iterator.empty
+        else {
+          val nodes = heap.toArray(Array.empty[(Long, Array[Float])])
+          qs.flatMap { case (_, m, q) =>
+            val top = new TopK(k)
+            var i = 0
+            while (i < nodes.length) {
+              top.offer(dot(q, nodes(i)._2), nodes(i)._1)
+              i += 1
+            }
+            val (sc, id) = top.result()
+            id.indices.iterator.map(j => (m, id(j), sc(j)))
           }
-          val (sc, id) = top.result()
-          id.indices.iterator.map(j => (m, id(j), sc(j)))
         }
     }
     perBucket.groupByKey(_._1).mapGroups { (m, rows) =>

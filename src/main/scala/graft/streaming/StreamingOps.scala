@@ -13,6 +13,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingOps {
 
+  /** Default tombstone TTL for the stateful sessionizer (see sessionFn):
+    * one constant shared by every signature that defaults it. */
+  val DefaultTombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L
+
   /** Streaming mention counts over an arriving webtext directory: same
     * bigram extraction as KgPipeline.extractMentions, windowed by ingest
     * time with a watermark. Complete-output top mentions land in an
@@ -134,7 +138,7 @@ object StreamingOps {
     * stream requires unbounded state; the TTL makes the bound explicit
     * and configurable instead of implicit and infinite). */
   def sessionFn(gapMicros: Long,
-                tombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L)(
+                tombstoneTtlMicros: Long = DefaultTombstoneTtlMicros)(
       user: Long, rows: Iterator[SessEvent],
       state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
     def emit(s: SessState) = SessOut(user, s.seq, s.n, toTs(s.start), toTs(s.end))
@@ -181,7 +185,7 @@ object StreamingOps {
   private def sessionsPlan(spark: SparkSession, inputDir: String,
                            schema: org.apache.spark.sql.types.StructType,
                            gapMinutes: Int,
-                           tombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L): org.apache.spark.sql.Dataset[SessOut] = {
+                           tombstoneTtlMicros: Long = DefaultTombstoneTtlMicros): org.apache.spark.sql.Dataset[SessOut] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     spark.readStream.schema(schema).parquet(inputDir)
@@ -222,7 +226,7 @@ object StreamingOps {
                                  schema: org.apache.spark.sql.types.StructType,
                                  outDir: String, checkpointDir: String,
                                  gapMinutes: Int = 30,
-                                 tombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L): StreamingQuery =
+                                 tombstoneTtlMicros: Long = DefaultTombstoneTtlMicros): StreamingQuery =
     sessionsPlan(spark, inputDir, schema, gapMinutes, tombstoneTtlMicros)
       .writeStream.outputMode("append")
       .format("parquet")

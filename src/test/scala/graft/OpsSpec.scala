@@ -32,6 +32,26 @@ class OpsSpec extends SparkSpecBase {
     assert(a.contains((100L, 101L)) && a.contains((100L, 102L)))
   }
 
+  test("posting-list skew guard: every member of an oversized dup cluster still surfaces") {
+    import spark.implicits._
+    // 1200 identical docs (> the 1024-per-bucket cap) + noise docs: full
+    // pairs within the cap, star edges (min-id, y) beyond it — no doc is
+    // silently dropped from candidacy, and no self-pairs leak
+    val n = 1200
+    val docs = ((0L until n).map(i => (i, "the same exact boilerplate page content here")) ++
+      (10000L until 10020L).map(i => (i, s"noise doc $i with its own words ${i * 7}")))
+      .toDF("doc_id", "text")
+    val cand = graft.ops.TextOps
+      .minhashCandidates(docs, "text", 3, 128, 16, postingListPlan = Some(true))
+      .as[(Long, Long)].collect()
+    assert(cand.forall { case (a, b) => a != b }, "self-pair leaked")
+    val covered = cand.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .filter(_ < n).toSet
+    assert(covered.size == n, s"only ${covered.size} of $n cluster members surfaced")
+    // the star edges attach to the cluster representative (min id)
+    assert((1025L until n).forall(y => cand.contains((0L, y))))
+  }
+
   test("jaccard pairs find near-duplicates and minhash agrees") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -413,6 +413,16 @@ class PipelineSpec extends SparkSpecBase {
     val rReplay = KgPipeline.run(spark, corpus(300, 4), "text",
       KgPipeline.domainModels(), cfg(2).copy(move = mv), full)
     assert(rows(rReplay.triples) == fullRows)
+    // EXTENDING a completed checkpoint with more rounds must RECOMPUTE
+    // the move on the new taxonomy (the marker records the insert-round
+    // count it was computed at) — replaying round-2-era decisions against
+    // the round-3 taxonomy would silently skip the new mints
+    val fresh3 = Files.createTempDirectory("kgmv_f3").toString
+    val rFresh3 = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(3).copy(move = mv), fresh3)
+    val rExt3 = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(3).copy(move = mv), full)
+    assert(rows(rExt3.triples) == rows(rFresh3.triples))
   }
 
   test("commitStream records label flips (existing-edge 'original'→'new' overwrites)") {
