@@ -73,7 +73,7 @@ object SimOps {
     * the band's row bits, extracted with unsigned shifts (codegen'd — no
     * array slicing, no string buckets). */
   private def banded(df: DataFrame, bits: Int, bands: Int,
-                     center: Seq[Double]): DataFrame = {
+                     center: Seq[Double], dim: Int = 64): DataFrame = {
     val rows = bits / bands
     require(rows <= 64, s"rows per band must fit a long, got $rows")
     // the packed key tags the band at bit 48: with multiple bands, row
@@ -88,8 +88,13 @@ object SimOps {
     require(nWords == 1 || 64 % rows == 0,
       s"multi-word banding needs rows dividing 64, got $rows")
     val mask = if (rows == 64) -1L else (1L << rows) - 1
+    // dim must match the real embedding width: truncating a wide (e.g.
+    // 768-dim) vector to the plane table's first 64 dims degenerates the
+    // signature — sparse vectors with no mass in those dims all sign to
+    // the same bucket and the candidate self-join goes quadratic (the
+    // 768-dim pipeline rehearsal hit exactly this as a 30+ GB spill storm)
     val sigCols = (0 until nWords).map(w =>
-      rhpSignature(col("embedding"), math.min(64, bits - w * 64),
+      rhpSignature(col("embedding"), math.min(64, bits - w * 64), dim,
         center = center, bitOffset = w * 64).as(s"sig$w"))
     // (band, row-bits) packed into ONE long join key: band in the high
     // bits, bucket in the low — injective, so the candidate set is
@@ -110,12 +115,12 @@ object SimOps {
     * RecallBench sweep in BENCH/BASELINE.md. Candidates are deduped on ids
     * only (cheap shuffle keys); vectors are re-joined for verification. */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    bits: Int = 16, bands: Int = 8): DataFrame = {
+                    bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
     // corpus statistics center BOTH sides (queries must band identically)
-    val mu = dimMeans(corpus)
-    val cand = banded(corpus, bits, bands, mu).as("c")
-      .join(broadcast(banded(queries, bits, bands, mu)).as("q"),
+    val mu = dimMeans(corpus, dim)
+    val cand = banded(corpus, bits, bands, mu, dim).as("c")
+      .join(broadcast(banded(queries, bits, bands, mu, dim)).as("q"),
         col("c.bucket") === col("q.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
@@ -171,9 +176,9 @@ object SimOps {
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
     * LSH blocking + exact verification. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
-                         bits: Int = 16, bands: Int = 4): DataFrame = {
+                         bits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
-    val b = banded(df, bits, bands, dimMeans(df))
+    val b = banded(df, bits, bands, dimMeans(df, dim), dim)
     val cand = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

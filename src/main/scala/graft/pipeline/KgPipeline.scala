@@ -373,8 +373,19 @@ object KgPipeline {
         // sample of the store (float sums over a distributed agg would
         // vary with partition order run-to-run).
         val center = cache.currentCenter.getOrElse {
-          val sample = embStore.orderBy("vec_id").limit(65536)
-            .as[(Long, Array[Float])].collect()
+          // two-step fetch: ids first (8 B rows), then a semi-join for the
+          // sampled vectors. A direct orderBy(vec_id).limit(65536).collect()
+          // compiles to TakeOrdered, which ships each task's WHOLE
+          // per-partition candidate set to the driver — at 768-dim that is
+          // ~96 MB × every partition and trips spark.driver.maxResultSize
+          // (the 768-dim rehearsal failed here); the id-bounded join ships
+          // exactly the 65536 sampled vectors. Same sample set either way,
+          // so 64-dim drive outputs are unchanged.
+          val sampleIds = embStore.select(col("vec_id")).orderBy("vec_id")
+            .limit(65536).as[Long].collect()
+          val sample = embStore
+            .join(broadcast(sampleIds.toSeq.toDF("vec_id")), Seq("vec_id"))
+            .as[(Long, Array[Float])].collect().sortBy(_._1)
           val c = new Array[Double](models.emb.dim)
           for ((_, v) <- sample; i <- c.indices if i < v.length) c(i) += v(i)
           for (i <- c.indices)
@@ -630,7 +641,7 @@ object KgPipeline {
         var nPairs = 0L
         val pairs = sub("canon_pairs", n) {
           val p = graft.ops.SimOps.cosineNearDupPairs(vecs, threshold,
-              bits = 256, bands = 8)
+              bits = 256, bands = 8, dim = models.emb.dim)
             .select(col("a"), col("b")).persist()
           nPairs = p.count()
           (p, nPairs)

@@ -90,7 +90,10 @@ object RunPipeline {
     println(s"[pipeline] resume point: round ${KgPipeline.lastCompleteRound(ckpt)}; " +
       s"heap before: ${heapMb()} MB")
     val embedLatencyMs = sys.env.get("GRAFT_EMBED_LATENCY_MS").map(_.toLong).getOrElse(0L)
-    val baseModels = KgPipeline.domainModels()
+    // GRAFT_EMB_DIM: embedding width (default 64) — 768 matches a real
+    // sentence-encoder and exercises the distributed path's n·dim scaling
+    val baseModels = KgPipeline.domainModels(
+      sys.env.get("GRAFT_EMB_DIM").map(_.toInt).getOrElse(64))
     val models =
       if (embedLatencyMs > 0)
         baseModels.copy(emb = new LatencyEmbedder(baseModels.emb, embedLatencyMs))

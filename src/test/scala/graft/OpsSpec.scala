@@ -105,6 +105,34 @@ class OpsSpec extends SparkSpecBase {
     assert(shared.size >= (bf.length * 7) / 10, s"recall ${shared.size}/${bf.length}")
   }
 
+  test("wide embeddings sign over their full width, not the first 64 dims") {
+    // Sparse 768-dim one-hot vectors whose support lies entirely ABOVE
+    // dim 64 (the shape a char-ngram embedder at sentence-encoder width
+    // produces: ~12 nonzeros spread over 768 buckets). A signature that
+    // truncates to the plane table's first 64 dims sees every one of
+    // these as the zero vector — identical buckets in every band, a
+    // quadratic candidate self-join (the 768-dim pipeline drive hit this
+    // as a 30+ GB spill storm in canonicalize). With the width threaded,
+    // one-hot sigs are bit b = sign(plane(b, hot)) — pairwise distinct.
+    val dim = 768
+    val wide = (0L until 64L).map { i =>
+      (i, Array.tabulate(dim)(j => if (j == 100 + i.toInt) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val sigs = wide.select(SimOps.rhpSignature($"embedding", 64, dim).as("s"))
+      .as[Long].collect()
+    assert(sigs.distinct.length == sigs.length,
+      s"expected 64 distinct signatures, got ${sigs.distinct.length}")
+    // end-to-end at the pipeline's geometry: a planted exact duplicate is
+    // the ONLY pair that survives banding + verification
+    val planted = wide.union(Seq(
+      (1000L, Array.tabulate(dim)(j => if (j == 100) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val pairs = SimOps.cosineNearDupPairs(planted, 0.98, bits = 256, bands = 8,
+        dim = dim)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((0L, 1000L)))
+  }
+
   test("ivf top-k: verified cosines exact, recall high, subset semantics") {
     val vecs = (0L until 200L).map { i =>
       (i, Array.tabulate(8)(j => ((graft.lexical.Tokenset.fnv1a64(s"$i:$j") % 1000L) / 1000.0f)))
