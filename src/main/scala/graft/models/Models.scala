@@ -42,6 +42,7 @@ case class IconModels(emb: Embedder, gen: Generator, sub: SubScorer) extends Ser
   * (tools/golden_gen.py) bit-compatible for ranking purposes.
   */
 class HashNgramEmbedder(val dim: Int = 64) extends Embedder {
+  require(dim > 0, s"embedding dim must be positive, got $dim (check GRAFT_EMB_DIM)")
   def embed(labels: Seq[String]): Array[Array[Float]] = labels.iterator.map { label =>
     val counts = new Array[Long](dim)
     val s = "^" + (if (label == null) "" else label.toLowerCase) + "$"

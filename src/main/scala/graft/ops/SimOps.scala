@@ -114,9 +114,22 @@ object SimOps {
     * corpus×query product; recall is tuned by (bits, bands) — see the
     * RecallBench sweep in BENCH/BASELINE.md. Candidates are deduped on ids
     * only (cheap shuffle keys); vectors are re-joined for verification. */
+  /** Vectors wider than the plane table lose the mass above `dim` from
+    * their signatures — the degenerate-bucket failure documented at
+    * banded(). Narrower is fine (missing dims read as 0). One take(1)
+    * probe per entry call; plans untouched. */
+  private def requireWidth(df: DataFrame, dim: Int): Unit =
+    df.select(size(col("embedding"))).take(1).foreach { r =>
+      require(r.getInt(0) <= dim,
+        s"embeddings are ${r.getInt(0)}-dim but the LSH plane table is " +
+          s"$dim-dim — pass dim explicitly (signatures would silently " +
+          "ignore every dimension above the table width)")
+    }
+
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
+    requireWidth(corpus, dim)
     // corpus statistics center BOTH sides (queries must band identically)
     val mu = dimMeans(corpus, dim)
     val cand = banded(corpus, bits, bands, mu, dim).as("c")
@@ -178,6 +191,7 @@ object SimOps {
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
                          bits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
+    requireWidth(df, dim)
     val b = banded(df, bits, bands, dimMeans(df, dim), dim)
     val cand = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&

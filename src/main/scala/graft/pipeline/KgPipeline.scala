@@ -383,9 +383,13 @@ object KgPipeline {
           // so 64-dim drive outputs are unchanged.
           val sampleIds = embStore.select(col("vec_id")).orderBy("vec_id")
             .limit(65536).as[Long].collect()
-          val sample = embStore
-            .join(broadcast(sampleIds.toSeq.toDF("vec_id")), Seq("vec_id"))
-            .as[(Long, Array[Float])].collect().sortBy(_._1)
+          // ids are unique and sampleIds is the global ascending prefix, so
+          // a range filter on the largest sampled id selects exactly the
+          // sampled rows — no driver-built join side needed
+          val sample =
+            if (sampleIds.isEmpty) Array.empty[(Long, Array[Float])]
+            else embStore.filter(col("vec_id") <= sampleIds.last)
+              .as[(Long, Array[Float])].collect().sortBy(_._1)
           val c = new Array[Double](models.emb.dim)
           for ((_, v) <- sample; i <- c.indices if i < v.length) c(i) += v(i)
           for (i <- c.indices)

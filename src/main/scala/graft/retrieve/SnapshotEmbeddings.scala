@@ -43,6 +43,13 @@ final class SnapshotEmbeddings(val dim: Int) extends Serializable {
 
   /** Restore a persisted center (resume path). */
   def restoreCenter(c: Array[Double], n: Int): Unit = {
+    // a center persisted at a different embedding width means the
+    // checkpoint was written under another GRAFT_EMB_DIM: probing a
+    // wide store with narrow planes (or vice versa) silently empties
+    // every bucket, so fail fast instead
+    require(c.length == dim,
+      s"checkpointed RHP center has width ${c.length} but the embedder is " +
+        s"$dim-dim — resume with the embedding width the checkpoint was written at")
     center = c; centerN = n
     s0.clear(); s1.clear()
   }

@@ -131,6 +131,15 @@ class OpsSpec extends SparkSpecBase {
         dim = dim)
       .select("a", "b").as[(Long, Long)].collect()
     assert(pairs.toSet == Set((0L, 1000L)))
+    // the guard: forgetting dim on wide vectors must fail fast, not
+    // silently truncate signatures to the default 64-dim plane table
+    val e = intercept[IllegalArgumentException] {
+      SimOps.cosineNearDupPairs(planted, 0.98, bits = 256, bands = 8)
+    }
+    assert(e.getMessage.contains("768-dim"))
+    intercept[IllegalArgumentException] {
+      SimOps.lshCosineTopK(planted, planted.limit(2), 3)
+    }
   }
 
   test("ivf top-k: verified cosines exact, recall high, subset semantics") {

@@ -163,4 +163,12 @@ class RetrieveSpec extends AnyFunSuite {
     val (ea, eb) = BandedIndex.signature(v3(3), c2, 8)
     assert(a2(3) == ea && b2(3) == eb)
   }
+
+  test("restoreCenter rejects a center persisted at a different embedding width") {
+    val cache = new graft.retrieve.SnapshotEmbeddings(768)
+    val e = intercept[IllegalArgumentException] {
+      cache.restoreCenter(Array.fill(64)(0.0), 10)
+    }
+    assert(e.getMessage.contains("width 64"))
+  }
 }
