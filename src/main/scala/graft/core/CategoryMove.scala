@@ -81,11 +81,19 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     }
   }
 
+  /** No-node sentinel for the `masked` parameters below: node ids are
+    * non-negative, so masking -1 is a no-op — the sequential C1/C4/C5
+    * paths pass it implicitly via the default. */
+  private val NoMask = -1L
+
   /** C4 evaluate_siblings (category_move.py:156-165): mean cosine of query
-    * vs each candidate's children; 0 when childless. */
-  def evaluateSiblings(query: String, candidates: Seq[Long]): Seq[Double] =
+    * vs each candidate's children; 0 when childless. `masked` (the bulk-
+    * synchronous move round's target) is excluded from every child list,
+    * as it would be after the sequential engine's detach. */
+  def evaluateSiblings(query: String, candidates: Seq[Long],
+                       masked: Long = NoMask): Seq[Double] =
     candidates.map { c =>
-      val siblings = working.getChildren(c)
+      val siblings = working.getChildren(c).filterNot(_ == masked)
       if (siblings.isEmpty) 0.0
       else siblings.map(s => similarity(Right(query), Left(s))).sum / siblings.size
     }
@@ -93,13 +101,14 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
   /** C5 select (category_move.py:167-187): weighted feature ranking.
     * np.argsort(..)[::-1] semantics preserved: ascending stable sort,
     * reversed — ties resolve to the LATER candidate. */
-  def select(query: String, candidates: Seq[Long], nWinner: Int = 1): Seq[Long] = {
+  def select(query: String, candidates: Seq[Long], nWinner: Int = 1,
+             masked: Long = NoMask): Seq[Long] = {
     require(config.selectionFeatures.nonEmpty, "No selection feature is specified.")
     require(config.selectionFeatures.size == config.weights.size,
       "The size of weights must match the number of used features.")
     val featureScores: Seq[Seq[Double]] = config.selectionFeatures.map {
       case "parent" => evaluateParent(query, candidates)
-      case "siblings" => evaluateSiblings(query, candidates)
+      case "siblings" => evaluateSiblings(query, candidates, masked)
       case f => throw new IllegalArgumentException(s"Invalid selection feature: $f")
     }
     val finalScores = candidates.indices.map { i =>
@@ -113,13 +122,18 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
   }
 
   /** C1 search (category_move.py:189-240): one-directional top-down
-    * traversal; most-specific reduction; optionally leaf-only. */
-  def search(taxo: MutableTaxo, query: String): LinkedHashMap[Long, Double] = {
+    * traversal; most-specific reduction; optionally leaf-only. With
+    * `masked`, that node is pre-visited and dropped from the roots, so the
+    * traversal never scores or expands it — the frozen-snapshot equivalent
+    * of the sequential engine's detach (the bulk-synchronous move round's
+    * target cannot become its own new parent). */
+  def search(taxo: MutableTaxo, query: String,
+             masked: Long = NoMask): LinkedHashMap[Long, Double] = {
     var sup = LinkedHashMap.empty[Long, Double]
-    val top = taxo.getGCD(Nil)
+    val top = taxo.getGCD(Nil).filterNot(_ == masked)
     val queue = mutable.Queue[(Long, Int)](top.map(n => (n, 0)): _*)
     if (top.nonEmpty) scoreCache.prefetch(top.map(n => (query, taxo.getLabel(n))))
-    val visited = mutable.HashSet.empty[Long]
+    val visited = mutable.HashSet[Long](masked)
     while (queue.nonEmpty) {
       val (node, fails) = queue.dequeue()
       visited += node
@@ -220,75 +234,6 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     logs(target) = winner
   }
 
-  /** Masked search for the bulk-synchronous move round: identical to
-    * [[search]] except `masked` is pre-visited, so the traversal never
-    * scores or expands it — the frozen-snapshot equivalent of the
-    * sequential engine's detach (the target cannot become its own new
-    * parent). */
-  private def searchMasked(taxo: MutableTaxo, query: String,
-                           masked: Long): LinkedHashMap[Long, Double] = {
-    var sup = LinkedHashMap.empty[Long, Double]
-    val top = taxo.getGCD(Nil).filterNot(_ == masked)
-    val queue = mutable.Queue[(Long, Int)](top.map(n => (n, 0)): _*)
-    if (top.nonEmpty) scoreCache.prefetch(top.map(n => (query, taxo.getLabel(n))))
-    val visited = mutable.HashSet[Long](masked)
-    while (queue.nonEmpty) {
-      val (node, fails) = queue.dequeue()
-      visited += node
-      val toCache = ArrayBuffer.empty[String]
-      val p = if (node == 0L) 1.0 else scoreCache.get(query, taxo.getLabel(node))
-      if (p >= config.threshold) {
-        sup(node) = p
-        for (child <- taxo.getChildren(node) if !visited.contains(child)) {
-          queue.enqueue((child, 0)); toCache += taxo.getLabel(child)
-        }
-        if (toCache.nonEmpty) scoreCache.prefetch(toCache.toSeq.map(l => (query, l)))
-      } else if (fails < config.tolerance) {
-        for (child <- taxo.getChildren(node) if !visited.contains(child)) {
-          queue.enqueue((child, fails + 1)); toCache += taxo.getLabel(child)
-        }
-        if (toCache.nonEmpty) scoreCache.prefetch(toCache.toSeq.map(l => (query, l)))
-      } else if (config.forcePrune) {
-        taxo.getDescendants(node).foreach(visited += _)
-      }
-    }
-    if (sup.isEmpty) return sup
-    val supAncestors = mutable.HashSet.empty[Long]
-    for (s <- sup.keys) supAncestors ++= taxo.getAncestors(s)
-    sup = sup.filter { case (k, _) => !supAncestors.contains(k) }
-    if (config.alwaysSearchToBottom) {
-      val bottom = taxo.getLCA(Nil).toSet
-      sup = sup.filter { case (k, _) => bottom.contains(k) }
-    }
-    sup
-  }
-
-  /** Masked sibling means: the target is excluded from every candidate's
-    * child list, as it would be after the sequential engine's detach. */
-  private def evaluateSiblingsMasked(query: String, candidates: Seq[Long],
-                                     masked: Long): Seq[Double] =
-    candidates.map { c =>
-      val siblings = working.getChildren(c).filterNot(_ == masked)
-      if (siblings.isEmpty) 0.0
-      else siblings.map(s => similarity(Right(query), Left(s))).sum / siblings.size
-    }
-
-  private def selectMasked(query: String, candidates: Seq[Long], masked: Long,
-                           nWinner: Int = 1): Seq[Long] = {
-    require(config.selectionFeatures.nonEmpty, "No selection feature is specified.")
-    require(config.selectionFeatures.size == config.weights.size,
-      "The size of weights must match the number of used features.")
-    val featureScores: Seq[Seq[Double]] = config.selectionFeatures.map {
-      case "parent" => evaluateParent(query, candidates)
-      case "siblings" => evaluateSiblingsMasked(query, candidates, masked)
-      case f => throw new IllegalArgumentException(s"Invalid selection feature: $f")
-    }
-    val finalScores = candidates.indices.map { i =>
-      config.selectionFeatures.indices.map(j => featureScores(j)(i) * config.weights(j)).sum
-    }
-    candidates.indices.sortBy(finalScores).reverse.take(nWinner).map(candidates)
-  }
-
   /** Bulk-synchronous, NON-MUTATING examine for the pipeline's distributed
     * move round (KgPipeline): computes the move decision for `target`
     * against the frozen `working` snapshot with the target MASKED from the
@@ -314,7 +259,7 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
         if (frozenSpace == null)
           frozenSpace = working.createMoveSearchSpace(
             config.scopeTopLevel, config.scopeBottomLevel)
-        searchMasked(frozenSpace, label, target).keys.toSeq
+        search(frozenSpace, label, masked = target).keys.toSeq
       case _ => rag(label, oldParents)
     }).filterNot(_ == target)
     if (config.alwaysIncludeOld)
@@ -322,7 +267,8 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     if (candidates.isEmpty) (oldParents, oldParents)
     else {
       val winner =
-        if (config.doSelect && candidates.size > 1) selectMasked(label, candidates, target)
+        if (config.doSelect && candidates.size > 1)
+          select(label, candidates, masked = target)
         else candidates
       (winner, oldParents)
     }
@@ -341,6 +287,17 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
       index = new VectorIndex(ns, models.emb.embedBatched(ns.map(working.getLabel).toSeq))
     }
     if (config.method == "rag" && !config.doUpdate) cacheRagEligibility()
+  }
+
+  /** [[prepareFrozen]] with a caller-supplied, already-built search space:
+    * the space depends only on (snapshot, config), so KgPipeline's move
+    * round computes it ONCE on the driver and broadcasts it — without
+    * this every partition's engine rebuilds the identical subgraph (plus
+    * its levels pass), multiplying an O(snapshot) structure by the task
+    * count. Sharing is safe: nothing in the frozen path mutates it. */
+  def prepareFrozen(snapshot: MutableTaxo, space: MutableTaxo): Unit = {
+    prepareFrozen(snapshot)
+    frozenSpace = space
   }
 
   /** C9 auto/manual/run (category_move.py:320-424). */

@@ -130,6 +130,7 @@ object SimOps {
                     bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
     requireWidth(corpus, dim)
+    requireWidth(queries, dim) // queries band through the same plane table
     // corpus statistics center BOTH sides (queries must band identically)
     val mu = dimMeans(corpus, dim)
     val cand = banded(corpus, bits, bands, mu, dim).as("c")

@@ -173,10 +173,25 @@ object TextOps {
   /** Banded-LSH candidate pairs (a < b, distinct) BEFORE exact
     * verification — the blocking stage of [[minhashPairs]], exposed so the
     * banding sweep (graft.MinHashSweepBench) can measure candidate-pair
-    * rate per (numHashes, bands) config separately from banding recall. */
+    * rate per (numHashes, bands) config separately from banding recall.
+    *
+    * Skew semantics of the default posting-list plan (rows ≥ 4 only): a
+    * bucket beyond `maxBucketSize` members emits full pairs within its
+    * `maxBucketSize` smallest ids plus STAR edges (min-id, y) for the
+    * tail — every member still surfaces against the cluster
+    * representative, but a tail member similar to its neighbors and NOT
+    * to the representative can fail verification and drop out of
+    * [[minhashPairs]]. That is a deliberate approximation: an oversized
+    * bucket at these geometries is a near-identical boilerplate cluster,
+    * and exhaustive pairs there are O(|bucket|²) work by definition. For
+    * exhaustive-pair semantics regardless of skew pass
+    * `maxBucketSize = Int.MaxValue` (bounded memory: lists explode
+    * per-bucket) or `postingListPlan = Some(false)` (the self-join plan,
+    * exact at any bucket size). */
   def minhashCandidates(df: DataFrame, textCol: String = "text", k: Int = 3,
                         numHashes: Int = 128, bands: Int = 16,
-                        postingListPlan: Option[Boolean] = None): DataFrame = {
+                        postingListPlan: Option[Boolean] = None,
+                        maxBucketSize: Int = 1024): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // the band index is mixed INTO the bucket hash: a single 8-byte join
@@ -217,7 +232,6 @@ object TextOps {
       // of them — quadratic WORK either way; the star keeps dedup
       // connectivity at linear cost). Dup-cluster buckets at the rows ≥ 4
       // geometries this plan serves are orders of magnitude below the cap.
-      val maxBucketSize = 1024
       banded.groupBy(col("bucket"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids0"))
         .filter(size(col("ids0")) >= 2)
@@ -247,8 +261,10 @@ object TextOps {
 
   def minhashPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
                    numHashes: Int = 128, bands: Int = 16,
-                   threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(df, textCol, k, numHashes, bands)
+                   threshold: Double = 0.8,
+                   maxBucketSize: Int = 1024): DataFrame = {
+    val cand = minhashCandidates(df, textCol, k, numHashes, bands,
+      maxBucketSize = maxBucketSize)
     // exact-Jaccard verification of the candidates: join back the compiled
     // long-hash shingle arrays (8-byte elements through the shuffle and the
     // set ops, instead of k-word strings). The corpus is semi-join pruned

@@ -566,7 +566,18 @@ object KgPipeline {
                    newConcepts: Seq[(String, Long)], models: IconModels,
                    threshold: Double,
                    embCache: graft.retrieve.SnapshotEmbeddings = null,
-                   round: Int = 0): CanonResult = {
+                   round: Int = 0,
+                   preloadMaxNodes: Long = Long.MaxValue): CanonResult = {
+    // preload the decide cache only when the NEXT round will actually run
+    // the broadcast path. The decision is made HERE, against the
+    // post-merge node count (the merge map is known before the preload
+    // runs), not against the pre-merge count at the call site: a round
+    // that crosses the distributed threshold only through soon-merged
+    // duplicates would otherwise skip the preload and force the next
+    // broadcast-path sync to re-embed every surviving mint — a duplicated
+    // full model pass with a real encoder.
+    def preloadWanted(mergedAway: Int): Boolean =
+      embCache != null && taxo.numberOfNodes - mergedAway <= preloadMaxNodes
     val lin = mutable.ArrayBuffer.empty[LineageRow]
     def sub[A](stage: String, rowsIn: Long)(f: => (A, Long)): A = {
       val t0 = System.currentTimeMillis()
@@ -583,7 +594,7 @@ object KgPipeline {
       // invariant holds for every round
       val emb1 = if (newConcepts.isEmpty) Array.empty[Array[Float]]
         else models.emb.embedBatched(newConcepts.map(_._1))
-      if (embCache != null && newConcepts.nonEmpty)
+      if (preloadWanted(0) && newConcepts.nonEmpty)
         embCache.preload(newConcepts.map(_._2).toArray, emb1)
       val sv1 = newConcepts.map(_._2).zip(emb1).toDF("vec_id", "embedding")
       return CanonResult(Map.empty, Nil, Nil, sv1, () => ())
@@ -597,7 +608,7 @@ object KgPipeline {
         // survivors only — a merged dup's vector would be dropped by the
         // next sync anyway (and must not enter the embedding store)
         val keep = ids.indices.filterNot(i => m.contains(ids(i)))
-        if (embCache != null) sub("canon_preload", n) {
+        if (preloadWanted(m.size)) sub("canon_preload", n) {
           embCache.preload(keep.map(ids).toArray, keep.map(emb).toArray)
           ((), keep.size.toLong)
         }
@@ -676,11 +687,11 @@ object KgPipeline {
         // duplicated full model pass per round with a real encoder.
         // Bounded-chunk transfer: toLocalIterator streams one partition at
         // a time, so the driver never double-buffers the full mint payload
-        // on top of the cache's own storage. (The at-scale decide path
-        // passes embCache = null — survivors then reach the next round
-        // only through the checkpointed embedding store, and no vector
-        // ever lands on the driver.)
-        if (embCache != null) sub("canon_preload", n) {
+        // on top of the cache's own storage. (When the next round retrieves
+        // distributed — preloadWanted false — survivors reach it only
+        // through the checkpointed embedding store, and no vector ever
+        // lands on the driver.)
+        if (preloadWanted(out.size)) sub("canon_preload", n) {
           var preloaded = 0L
           survivors.as[(Long, Array[Float])].toLocalIterator().asScala
             .grouped(65536).foreach { chunk =>
@@ -714,6 +725,13 @@ object KgPipeline {
     def find(x: Long): Long = {
       var r = parent.getOrElseUpdate(x, x)
       while (parent(r) != r) r = parent(r)
+      // path compression: without it, min-id unions build chains whose
+      // depth tracks the pair order (a descending-sorted dup cluster is
+      // a depth-n chain) and the closing find-per-key pass goes O(p²) —
+      // compression keeps every find amortized near-constant and does
+      // not change any root
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
     for ((a, b) <- pairs) {
@@ -1041,13 +1059,15 @@ object KgPipeline {
       }
 
       // once the NEXT round's decide will retrieve distributed, the driver
-      // embedding cache is dead weight — skip the preload so no mint
-      // vector lands on the driver (survivors reach the next round through
-      // the checkpointed store instead)
-      val nextRoundDistributed = taxo.numberOfNodes > cfg.distributedRetrieveNodes
+      // embedding cache is dead weight — canonicalize skips the preload so
+      // no mint vector lands on the driver (survivors reach the next round
+      // through the checkpointed store instead). The broadcast-vs-
+      // distributed decision is made INSIDE canonicalize against the
+      // post-merge node count — the merge can pull a crossing round back
+      // under the threshold.
       val canonRes = timed("canonicalize")(
         canonicalize(spark, taxo, newConcepts, models, cfg.cosineMergeThreshold,
-          if (nextRoundDistributed) null else embCache, r))
+          embCache, r, preloadMaxNodes = cfg.distributedRetrieveNodes))
       val merge = canonRes.merge
       val mergeAdded = canonRes.addedEdges
       allLineage ++= canonRes.lineage
@@ -1231,12 +1251,25 @@ object KgPipeline {
           val targets = mcfg.maxOuterLoop.map(targets0.take).getOrElse(targets0)
           val bTaxoF = spark.sparkContext.broadcast(taxo)
           val bModelsF = spark.sparkContext.broadcast(models)
+          // the search space is target-independent under frozen semantics:
+          // build it ONCE here and broadcast (in local mode the tasks then
+          // share a single instance; per-partition engines each rebuilding
+          // it would multiply an O(snapshot) subgraph plus a levels pass
+          // by the task count)
+          val bSpaceF =
+            if (mcfg.method == "search")
+              Some(spark.sparkContext.broadcast(taxo.createMoveSearchSpace(
+                mcfg.scopeTopLevel, mcfg.scopeBottomLevel)))
+            else None
           val ds = targets.toDF("target")
             .repartition(spark.sparkContext.defaultParallelism, col("target"))
             .as[Long]
             .mapPartitions { it =>
               val engine = new graft.core.CategoryMoveEngine(bModelsF.value, mcfg)
-              engine.prepareFrozen(bTaxoF.value)
+              bSpaceF match {
+                case Some(bs) => engine.prepareFrozen(bTaxoF.value, bs.value)
+                case None => engine.prepareFrozen(bTaxoF.value)
+              }
               it.map { t => val (w, o) = engine.examineFrozen(t); (t, w, o) }
             }.collect().sortBy(_._1).toSeq
           Files.createDirectories(Paths.get(mdir))

@@ -58,35 +58,41 @@ object DistributedBandedRetrieve {
     }
     val perBucket = candKeyed.groupByKey(_._1).cogroup(nodeKeyed.groupByKey(_._1)) {
       (_, qs, ns) =>
-        // bounded bucket materialization (skew guard, the maxShingleFreq/
-        // maxBucketSize pattern): a degenerate bucket — many near-identical
-        // embeddings sharing one signature — would otherwise buffer an
-        // unbounded fraction of the snapshot's vectors in one task. Retain
-        // the MaxBucketNodes smallest-id members (bounded max-heap by id:
-        // DETERMINISTIC regardless of cogroup arrival order, unlike a
-        // take()-style truncation). Expected occupancy is n·bands/2¹⁶
-        // (~10²-10³ at 10⁷ nodes) — only degenerate buckets hit the cap,
-        // and truncation there is the same documented approximation class
-        // as an empty-bucket miss.
-        val heap = new java.util.PriorityQueue[(Long, Array[Float])](
-          16, (a: (Long, Array[Float]), b: (Long, Array[Float])) =>
-            java.lang.Long.compare(b._1, a._1))
-        for ((_, id, v) <- ns) {
-          if (heap.size < MaxBucketNodes) heap.add((id, v))
-          else if (id < heap.peek()._1) { heap.poll(); heap.add((id, v)) }
-        }
-        if (heap.isEmpty) Iterator.empty
+        // most node buckets contain no query at all (node keys occupy up
+        // to bands·2¹⁶ buckets, query keys at most m·bands) — skip the
+        // heap entirely for them; hasNext does not consume the iterator
+        if (!qs.hasNext) Iterator.empty
         else {
-          val nodes = heap.toArray(Array.empty[(Long, Array[Float])])
-          qs.flatMap { case (_, m, q) =>
-            val top = new TopK(k)
-            var i = 0
-            while (i < nodes.length) {
-              top.offer(dot(q, nodes(i)._2), nodes(i)._1)
-              i += 1
+          // bounded bucket materialization (skew guard, the maxShingleFreq/
+          // maxBucketSize pattern): a degenerate bucket — many near-identical
+          // embeddings sharing one signature — would otherwise buffer an
+          // unbounded fraction of the snapshot's vectors in one task. Retain
+          // the MaxBucketNodes smallest-id members (bounded max-heap by id:
+          // DETERMINISTIC regardless of cogroup arrival order, unlike a
+          // take()-style truncation). Expected occupancy is n·bands/2¹⁶
+          // (~10²-10³ at 10⁷ nodes) — only degenerate buckets hit the cap,
+          // and truncation there is the same documented approximation class
+          // as an empty-bucket miss.
+          val heap = new java.util.PriorityQueue[(Long, Array[Float])](
+            16, (a: (Long, Array[Float]), b: (Long, Array[Float])) =>
+              java.lang.Long.compare(b._1, a._1))
+          for ((_, id, v) <- ns) {
+            if (heap.size < MaxBucketNodes) heap.add((id, v))
+            else if (id < heap.peek()._1) { heap.poll(); heap.add((id, v)) }
+          }
+          if (heap.isEmpty) Iterator.empty
+          else {
+            val nodes = heap.toArray(Array.empty[(Long, Array[Float])])
+            qs.flatMap { case (_, m, q) =>
+              val top = new TopK(k)
+              var i = 0
+              while (i < nodes.length) {
+                top.offer(dot(q, nodes(i)._2), nodes(i)._1)
+                i += 1
+              }
+              val (sc, id) = top.result()
+              id.indices.iterator.map(j => (m, id(j), sc(j)))
             }
-            val (sc, id) = top.result()
-            id.indices.iterator.map(j => (m, id(j), sc(j)))
           }
         }
     }

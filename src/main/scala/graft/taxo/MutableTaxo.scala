@@ -422,6 +422,13 @@ class MutableTaxo extends Serializable {
       else true
     val subgraph = new MutableTaxo
     val queue = mutable.Queue[(Long, Long, Boolean)](topNodes.map(t => (t, -1L, false)): _*)
+    // expand each node's children ONCE: entries are per-EDGE (a multi-
+    // parent node is dequeued once per parent so every subgraph edge is
+    // added), but re-expanding on every dequeue walks per-PATH —
+    // exponential on diamond ladders. `valid` depends only on the node,
+    // so the skipped re-expansions were pure duplicates; node and edge
+    // first-occurrence order (= subgraph insertion order) is unchanged.
+    val expanded = mutable.HashSet.empty[Long]
     while (queue.nonEmpty) {
       val (node, prev, prevValid) = queue.dequeue()
       val valid = verifyTop(node) && verifyBottom(node)
@@ -429,7 +436,8 @@ class MutableTaxo extends Serializable {
         subgraph.addNode(node, Option(getLabel(node)))
         if (prevValid) subgraph.addEdge(node, prev, getEdgeLabel(node, prev))
       }
-      for (sub <- getChildren(node)) queue.enqueue((sub, node, valid))
+      if (expanded.add(node))
+        for (sub <- getChildren(node)) queue.enqueue((sub, node, valid))
     }
     subgraph
   }

@@ -384,6 +384,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(KgPipeline.unionFindMinId(pairs.toArray) == dist)
   }
 
+  test("unionFindMinId stays linear on adversarial chain-ordered pairs") {
+    // descending pair order builds a depth-n parent chain without path
+    // compression, making the closing find-per-key pass O(n²) — a
+    // multi-minute stall at this size, milliseconds with compression
+    val n = 100000
+    val pairs = Array.tabulate(n)(i => ((n - 1 - i).toLong, (n - i).toLong))
+    val m = KgPipeline.unionFindMinId(pairs)
+    assert(m.size == n)
+    assert((1 to n).forall(k => m(k.toLong) == 0L))
+  }
+
+  test("canonicalize preload decision uses the POST-merge node count") {
+    def mintedTaxo(): graft.taxo.MutableTaxo = {
+      val t = new graft.taxo.MutableTaxo
+      t.addNode(0L, Some("root"))
+      for ((l, id) <- Seq(("dup label", 10L), ("dup label", 11L), ("other thing", 12L))) {
+        t.addNode(id, Some(l)); t.addEdge(id, 0L, "new")
+      }
+      t
+    }
+    val concepts = Seq(("dup label", 10L), ("dup label", 11L), ("other thing", 12L))
+    val models = KgPipeline.domainModels()
+    // pre-merge count 4 > bound 3, but the merge (11 -> 10) brings it back
+    // to 3: the next round runs the broadcast path, so the preload MUST
+    // happen — skipping it (the old pre-merge call-site check) would make
+    // that round's sync re-embed every survivor
+    val cache = new graft.retrieve.SnapshotEmbeddings(models.emb.dim)
+    val res = KgPipeline.canonicalize(spark, mintedTaxo(), concepts, models,
+      0.999, cache, 1, preloadMaxNodes = 3)
+    assert(res.merge == Map(11L -> 10L))
+    assert(cache.size == 2) // survivors only, never the merged dup
+    // genuinely staying above the bound post-merge skips the preload
+    val cache2 = new graft.retrieve.SnapshotEmbeddings(models.emb.dim)
+    KgPipeline.canonicalize(spark, mintedTaxo(), concepts, models,
+      0.999, cache2, 1, preloadMaxNodes = 2)
+    assert(cache2.size == 0)
+  }
+
   test("pipeline move round: distributed examine, checkpointed decisions, resume equality") {
     import spark.implicits._
     import graft.core.MoveConfig

@@ -270,4 +270,23 @@ class TaxoSpec extends AnyFunSuite {
     val result = engine.run(data)
     for ((u, v, _) <- data.edges) assert(result.containsEdge(u, v), s"original edge $u->$v lost")
   }
+
+  test("createMoveSearchSpace walks edges, not paths (diamond ladder)") {
+    // 40 stacked diamonds = 2^40 root-to-leaf paths: the per-path BFS
+    // (no expansion dedupe) would never finish; the edge-walk completes
+    // instantly and must reproduce the full graph at an all-pass scope
+    val t = new MutableTaxo
+    t.addNode(0L, Some("root"))
+    var prev = Seq(0L)
+    var id = 1L
+    for (_ <- 1 to 40) {
+      val (a, b) = (id, id + 1); id += 2
+      t.addNode(a, Some(s"a$a")); t.addNode(b, Some(s"b$b"))
+      for (p <- prev) { t.addEdge(a, p, "original"); t.addEdge(b, p, "original") }
+      prev = Seq(a, b)
+    }
+    val s = t.createMoveSearchSpace(0, 0)
+    assert(s.numberOfNodes == t.numberOfNodes)
+    assert(s.edges.map(e => (e._1, e._2)).toSet == t.edges.map(e => (e._1, e._2)).toSet)
+  }
 }
