@@ -400,6 +400,17 @@ case class RhpSigExpr(child: Expression, bits: Int, dim: Int,
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // per-row width guard: SimOps.requireWidth probes only one row per
+    // call, so a mixed-width frame (e.g. a union of 64-dim legacy vectors
+    // with 768-dim re-embedded rows) can pass the driver check and still
+    // reach here with rows wider than the plane table — which would sign
+    // over the first `dim` dims only and degenerate the buckets (the
+    // 768-dim drive failure). Narrower rows are fine (missing dims read 0).
+    if (v.numElements() > dim)
+      throw new IllegalArgumentException(
+        s"rhp_sig: ${v.numElements()}-dim embedding exceeds the $dim-dim " +
+          "plane table — pass the real embedding width (dimensions above " +
+          "the table width would be silently ignored)")
     val n = math.min(v.numElements(), dim)
     val x = new Array[Double](n)
     var i = 0

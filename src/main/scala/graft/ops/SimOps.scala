@@ -117,7 +117,10 @@ object SimOps {
   /** Vectors wider than the plane table lose the mass above `dim` from
     * their signatures — the degenerate-bucket failure documented at
     * banded(). Narrower is fine (missing dims read as 0). One take(1)
-    * probe per entry call; plans untouched. */
+    * probe per entry call; plans untouched. This is the fast driver-side
+    * failure only: a mixed-width frame whose first row happens to be
+    * narrow passes it, so RhpSigExpr also guards EVERY row at eval time
+    * (same error, surfaced through the task failure). */
   private def requireWidth(df: DataFrame, dim: Int): Unit =
     df.select(size(col("embedding"))).take(1).foreach { r =>
       require(r.getInt(0) <= dim,

@@ -89,6 +89,16 @@ object KgPipeline {
       // replays them bit-identically instead of recomputing.
       move: Option[graft.core.MoveConfig] = None) extends Serializable {
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    // the three retrieval regimes (exact ≤ annNodeThreshold < broadcast
+    // banded ≤ distributedRetrieveNodes < distributed cogroup) are a
+    // total order on snapshot size: an inverted pair would silently
+    // replace the documented exact-retrieval regime with approximate
+    // banded seeds for snapshots between the two thresholds
+    require(distributedRetrieveNodes >= annNodeThreshold,
+      s"distributedRetrieveNodes ($distributedRetrieveNodes) must be >= " +
+        s"annNodeThreshold ($annNodeThreshold): snapshots in between would " +
+        "silently get approximate distributed seeds where the config " +
+        "promises exact VectorIndex retrieval")
   }
 
   /** OLAP-domain seed taxonomy matching the synthetic corpus vocabulary. */
@@ -367,6 +377,11 @@ object KgPipeline {
         (sc.broadcast(index), LineageRow(round, -1, "index_build", nodeIds.length,
           cache.lastEmbedded, cache.lastSigned, System.currentTimeMillis() - tIdx))
       } else {
+        // a run that GREW into this regime filled the cache during its
+        // broadcast-banded rounds — from here on the store is the only
+        // vector authority and the cache is never synced again, so drop
+        // the dead payload (keeps the frozen center; idempotent)
+        cache.dropVectors()
         // frozen center, persisted with the checkpoint exactly like the
         // broadcast-banded path's (a resumed run probes identical buckets).
         // First engagement derives it from a deterministic id-ordered
@@ -1213,12 +1228,16 @@ object KgPipeline {
       val mdir = s"$ckptDir/move"
       val marker = Paths.get(s"$mdir/COMMIT")
       // the marker records WHICH taxonomy the decisions were computed
-      // against (the insert-round count): extending a completed
-      // checkpoint with more rounds must recompute the move on the new
-      // taxonomy, not replay decisions about leaves that may no longer
-      // be the mint frontier
+      // against (the insert-round count) AND under which MoveConfig:
+      // extending a completed checkpoint with more rounds must recompute
+      // the move on the new taxonomy, and re-running it with a changed
+      // move config (different cap / threshold / method / mode) must
+      // recompute rather than silently replay decisions made under the
+      // old one. MoveConfig is a flat case class, so its toString is a
+      // deterministic single-line fingerprint of every field.
+      val markerStamp = s"${cfg.rounds}\n$mcfg"
       val markerValid = Files.exists(marker) &&
-        new String(Files.readAllBytes(marker), "UTF-8").trim == cfg.rounds.toString
+        new String(Files.readAllBytes(marker), "UTF-8").trim == markerStamp
       // per-partition engines embed the whole snapshot when the config
       // needs a vector index (rag retrieval / the siblings feature,
       // which is in MoveConfig's DEFAULT features) — defaultParallelism
@@ -1276,7 +1295,7 @@ object KgPipeline {
           ds.zipWithIndex.map { case ((t, w, o), k) => (k.toLong, t, w, o) }
             .toDF("seq", "target", "winners", "oldParents")
             .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$mdir/decisions")
-          Files.write(marker, cfg.rounds.toString.getBytes("UTF-8"))
+          Files.write(marker, markerStamp.getBytes("UTF-8"))
           ds
         }
       // deterministic target-order commit: detach old parents, attach

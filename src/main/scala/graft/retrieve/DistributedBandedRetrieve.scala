@@ -23,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      so per-bucket truncation loses nothing);
   *   4. a final groupBy(query) dedupes multi-band collisions by id and
   *      merges per-bucket lists into the global (score desc, id asc) top-k
-  *      — the exact [[TopK]] ordering the driver twtwin uses.
+  *      — the exact [[TopK]] ordering the driver twin uses.
   *
   * Shuffle cost is O((n + m)·bands) rows of (key, id, vec) plus the skinny
   * (query, id, score) rerank rows — the vector payload is never joined

@@ -54,6 +54,17 @@ final class SnapshotEmbeddings(val dim: Int) extends Serializable {
     s0.clear(); s1.clear()
   }
 
+  /** Drop every cached vector and signature, keeping only the (tiny)
+    * frozen center. Called when the pipeline crosses into distributed
+    * retrieval: from that point vectors live in the checkpointed
+    * (id, embedding) store and this cache is never synced again — without
+    * the drop, up to distributedRetrieveNodes·dim·4 B of vectors pinned
+    * here would ride along as dead driver heap for the rest of the run
+    * (~6 GB at 2M×768-dim), undercutting the regime's whole point. */
+  def dropVectors(): Unit = {
+    vecs.clear(); s0.clear(); s1.clear()
+  }
+
   /** Seed embeddings computed elsewhere (the canonicalize stage embeds
     * every minted concept anyway — without this, the next round's sync
     * re-embeds the same labels: a duplicated full model pass per round

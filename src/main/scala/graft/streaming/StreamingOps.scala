@@ -136,7 +136,16 @@ object StreamingOps {
     * session_seq = 1 (the batch twin, which always sees full history,
     * would continue counting — exact batch parity over an unbounded
     * stream requires unbounded state; the TTL makes the bound explicit
-    * and configurable instead of implicit and infinite). */
+    * and configurable instead of implicit and infinite).
+    *
+    * Checkpoint-upgrade caveat: tombstones written by a pre-TTL build
+    * carry no registered timeout, and `flatMapGroupsWithState` never
+    * invokes a group that has neither new events nor a due timeout — so
+    * those specific entries are unreclaimable until their user returns
+    * (the next event re-tombstones them WITH the TTL). The TTL bound
+    * therefore holds for all state created on this build; resuming an
+    * old checkpoint keeps its legacy tombstones until each user's next
+    * event, or start a fresh checkpoint to drop them at once. */
   def sessionFn(gapMicros: Long,
                 tombstoneTtlMicros: Long = DefaultTombstoneTtlMicros)(
       user: Long, rows: Iterator[SessEvent],

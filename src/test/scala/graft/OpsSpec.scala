@@ -140,6 +140,20 @@ class OpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       SimOps.lshCosineTopK(planted, planted.limit(2), 3)
     }
+    // mixed-width frame: the driver probe samples one row, so a frame
+    // whose sampled row is narrow slips past it — the per-row guard in
+    // RhpSigExpr must still fail the job instead of silently signing the
+    // wide rows over the table's first dims
+    val mixed = Seq((0L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .union(Seq((1L, Array.tabulate(dim)(j => if (j == 100) 1.0f else 0.0f)))
+        .toDF("vec_id", "embedding"))
+    val je = intercept[Exception] {
+      mixed.select(SimOps.rhpSignature($"embedding", 64, 8)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(je).exists(_.contains("plane table")), messages(je).mkString(" | "))
   }
 
   test("ivf top-k: verified cosines exact, recall high, subset semantics") {

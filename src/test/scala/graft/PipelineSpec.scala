@@ -286,7 +286,10 @@ class PipelineSpec extends SparkSpecBase {
 
   test("distributed-retrieve decide path is deterministic and resumable (the 10^7 escape hatch)") {
     import spark.implicits._
-    def dcfg(rounds: Int) = cfg(rounds).copy(distributedRetrieveNodes = 10)
+    // both thresholds lowered together: the config enforces the regime
+    // total order (annNodeThreshold <= distributedRetrieveNodes)
+    def dcfg(rounds: Int) =
+      cfg(rounds).copy(annNodeThreshold = 10, distributedRetrieveNodes = 10)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("subj", "pred", "obj", "src_round", "lineage")
         .as[(String, String, String, Int, String)].collect().sortBy(_.toString).toSeq
@@ -461,6 +464,18 @@ class PipelineSpec extends SparkSpecBase {
     val rExt3 = KgPipeline.run(spark, corpus(300, 4), "text",
       KgPipeline.domainModels(), cfg(3).copy(move = mv), full)
     assert(rows(rExt3.triples) == rows(rFresh3.triples))
+    // a CHANGED MoveConfig over the completed checkpoint must also
+    // recompute (the marker fingerprints the config, not just the round
+    // count): capping the outer loop at 1 target must yield exactly one
+    // moved-lineage triple, not a replay of the uncapped decision file
+    val mvCapped = mv.map(_.copy(maxOuterLoop = Some(1)))
+    val rCapped = KgPipeline.run(spark, corpus(300, 4), "text",
+      KgPipeline.domainModels(), cfg(3).copy(move = mvCapped), full)
+    val movedCapped = rows(rCapped.triples).count(_._5 == "moved")
+    val movedUncapped = rows(rExt3.triples).count(_._5 == "moved")
+    assert(movedCapped >= 1 && movedCapped < movedUncapped,
+      s"changed move config must recompute, not replay the old decisions " +
+        s"(capped=$movedCapped, uncapped=$movedUncapped)")
   }
 
   test("commitStream records label flips (existing-edge 'original'→'new' overwrites)") {

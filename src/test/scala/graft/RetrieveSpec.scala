@@ -162,6 +162,15 @@ class RetrieveSpec extends AnyFunSuite {
     assert(a2.take(3).toSeq == a1.toSeq && b2.take(3).toSeq == b1.toSeq)
     val (ea, eb) = BandedIndex.signature(v3(3), c2, 8)
     assert(a2(3) == ea && b2(3) == eb)
+    // crossover into distributed retrieval drops the cached payload (a run
+    // that grew through the broadcast regime must not pin n·dim·4 B of
+    // dead vectors on the driver) but keeps the frozen center, and a later
+    // sync simply re-embeds from scratch
+    cache.dropVectors()
+    assert(cache.size == 0)
+    assert(cache.currentCenter.exists(_.toSeq == c2.toSeq))
+    val v4 = cache.sync(ids3, Array("a", "c", "d", "e"), embed)
+    assert(cache.lastEmbedded == 4 && v4(0).toSeq == v3(0).toSeq)
   }
 
   test("restoreCenter rejects a center persisted at a different embedding width") {
