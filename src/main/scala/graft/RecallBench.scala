@@ -11,11 +11,35 @@ import org.apache.spark.sql.functions._
   * embeddings table; the chosen q18 parameters (SparkEntry.AnnBits/AnnBands)
   * are justified by this sweep (results recorded in BENCH/BASELINE.md).
   *
-  * Usage: runMain graft.RecallBench [sfDir] [k] [repeats]
+  * Usage: runMain graft.RecallBench [sfDir|clustered] [k] [repeats]
   * Prints one JSON line per (bits, bands) config:
   *   {"bits":16,"bands":8,"k":5,"recall_mean":…,"recall_ci95":…,"sec":…}
+  *
+  * `clustered` replaces the parquet table with a deterministic planted-
+  * cluster corpus (250 tight clusters × 100 points, 64-dim): the testdata
+  * embeddings are near-uniform random — cell-partitioning methods' WORST
+  * case, since a query's true neighbors scatter across cells — while real
+  * encoder outputs cluster by topic, which is the case IVF exists for.
+  * Running both modes separates "the implementation is wrong" from "the
+  * data has no cell structure" (BENCH/BASELINE.md §9n).
   */
 object RecallBench {
+  /** Deterministic planted-cluster corpus: point = cluster center + eps ·
+    * per-point jitter, every coordinate a pure hash of (cluster|id, dim) —
+    * reproducible across runs/parallelism, no RNG state. */
+  def clusteredCorpus(spark: SparkSession, nVec: Long, nClusters: Int,
+                      dim: Int, eps: Float): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def coord(seed: Long, j: Int): Float = {
+      val h = graft.functions.VectorExprs.fmix64(seed * 1315423911L + j)
+      ((h & 0xffffff).toFloat / 0x7fffff.toFloat) - 1.0f // [-1, 1]
+    }
+    spark.range(0, nVec, 1, 32).map { id =>
+      val c = id % nClusters
+      (id, Array.tabulate(dim)(j => coord(c, j) + eps * coord(~id, j)))
+    }.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val k = if (args.length > 1) args(1).toInt else 5
@@ -30,7 +54,9 @@ object RecallBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = (if (sfDir == "clustered")
+        clusteredCorpus(spark, 25000L, 250, 64, 0.15f)
+      else spark.read.parquet(s"$sfDir/embeddings.parquet"))
       .select(col("vec_id"), col("embedding")).persist()
     val n = emb.count()
 
