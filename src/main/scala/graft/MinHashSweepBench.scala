@@ -70,10 +70,21 @@ object MinHashSweepBench {
 
     val docs = sweepCorpus(spark, n).persist()
     val nDocs = docs.count()
-    // exact ground truth at the production threshold (the q13 plan)
+    // exact ground truth at the production threshold (the q13 plan).
+    // jaccardPairs is only exact while no shingle's df exceeds its skew
+    // guard (see its exactness contract) — verify that precondition on
+    // THIS corpus so recall denominators are provably exact, instead of
+    // assuming it
+    val truthGuard = 10000
+    val maxDf = docs.select(col("doc_id"),
+        explode(graft.functions.VectorExprs.wordShingleHashes(col("text"), 3)).as("sh"))
+      .groupBy("sh").count().agg(max("count")).head.getLong(0)
+    require(maxDf <= truthGuard,
+      s"sweep corpus has a shingle in $maxDf docs > maxShingleFreq=$truthGuard: " +
+        "the jaccardPairs ground truth would undercount — raise the guard")
     val truth = TextOps.jaccardPairs(docs, k = 3, threshold = threshold,
-      maxShingleFreq = 10000).count()
-    println(f"""{"corpus_docs":$nDocs,"threshold":$threshold,"truth_pairs":$truth}""")
+      maxShingleFreq = truthGuard).count()
+    println(f"""{"corpus_docs":$nDocs,"threshold":$threshold,"truth_pairs":$truth,"max_shingle_df":$maxDf}""")
 
     val configs = Seq((128, 128), (128, 64), (128, 32), (128, 16),
       (64, 64), (64, 32), (64, 16), (64, 8), (32, 16), (32, 8))

@@ -242,10 +242,16 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
     * re-attach when no candidate was found). Divergence from the
     * sequential C7/C9 path, documented like the insert round's
     * (SURVEY.md §7.4.2): search-space LEVELS are computed with the target
-    * still attached, and decisions within a batch do not observe each
+    * still attached; decisions within a batch do not observe each
     * other's moves — the commit applies them in deterministic target order
-    * with cycle screening. Callers must set `working` (a shared broadcast
-    * snapshot is safe — nothing mutates). */
+    * with cycle screening; and for a NON-LEAF target the mask blocks
+    * traversal THROUGH it, so descendants reachable only via the target
+    * cannot surface as candidates (the sequential detach re-roots the
+    * target, keeping its subtree reachable — replicating that on a shared
+    * frozen snapshot would need a per-target detach, the mutation this
+    * path exists to avoid). The pipeline's auto-mode targets are bottom
+    * concepts, where the two are equivalent. Callers must set `working`
+    * (a shared broadcast snapshot is safe — nothing mutates). */
   def examineFrozen(target: Long): (Seq[Long], Seq[Long]) = {
     val oldParents = working.getParents(target)
     if (target == 0L || oldParents.isEmpty) return (oldParents, oldParents)
@@ -286,7 +292,12 @@ class CategoryMoveEngine(val models: IconModels, var config: MoveConfig) {
       val ns = working.nodes.toArray
       index = new VectorIndex(ns, models.emb.embedBatched(ns.map(working.getLabel).toSeq))
     }
-    if (config.method == "rag" && !config.doUpdate) cacheRagEligibility()
+    // unlike the sequential run() (cache valid iff !doUpdate — moves change
+    // levels), the frozen snapshot NEVER mutates, so the eligibility set is
+    // always valid: cache unconditionally. Per-target recompute here was
+    // two full levels() fixpoints over the snapshot per examineFrozen call
+    // — O(targets × snapshot) wasted work with identical output.
+    if (config.method == "rag") cacheRagEligibility()
   }
 
   /** [[prepareFrozen]] with a caller-supplied, already-built search space:

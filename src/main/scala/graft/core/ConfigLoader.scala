@@ -72,7 +72,12 @@ object ConfigLoader {
       forcePrune = bool(n, d.forcePrune, "force_prune", "forcePrune"),
       doUpdate = bool(n, d.doUpdate, "do_update", "doUpdate"),
       doLexicalCheck = bool(n, d.doLexicalCheck, "do_lexical_check", "doLexicalCheck"),
-      transitiveReduction = bool(n, d.transitiveReduction, "transitive_reduction", "transitiveReduction"))
+      transitiveReduction = bool(n, d.transitiveReduction, "transitive_reduction", "transitiveReduction"),
+      // engine extension (no reference twin): without it a config artifact
+      // could not reproduce a scale-guarded run — the guard would silently
+      // stay at Int.MaxValue and the search-space build degenerates to
+      // whole-graph copies on large flat taxonomies
+      maxChildFanout = int(n, d.maxChildFanout, "max_child_fanout", "maxChildFanout"))
   }
 
   def moveFromNode(n: JsonNode): MoveConfig = {

@@ -112,8 +112,21 @@ object TextOps {
     * Inverted-index join on shingles: |∩| by groupBy pair, |∪| from set
     * sizes. `maxShingleFreq` drops ultra-common shingles before the
     * self-join — the skew guard that keeps the join quadratic only within
-    * a shingle's posting list, never corpus-wide. Jaccard reported as
-    * exact rational (inter, union) plus a rounded similarity. */
+    * a shingle's posting list, never corpus-wide.
+    *
+    * Exactness contract: the df ≥ 2 lower bound loses nothing (a shingle
+    * in one document cannot intersect anything), so (inter, uni, jaccard)
+    * are the exact rationals AS LONG AS no shingle's document frequency
+    * exceeds `maxShingleFreq`. Beyond it the guard prices in an
+    * approximation: pruned shingles are missing from `inter` but not from
+    * the set-size-based `uni`, so `jaccard` is a LOWER BOUND, and a pair
+    * whose entire overlap sits in ultra-common shingles does not surface
+    * at all (boilerplate-dominated near-dups on real web text). That is
+    * usually the WANTED dedup semantics — boilerplate overlap is not
+    * duplication — but for exact ground truth on a bounded corpus pass
+    * `maxShingleFreq` above the corpus's max df (cf. [[minhashPairs]],
+    * whose verification uses full array intersection and therefore scores
+    * the candidates it does surface exactly). */
   def jaccardPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
                    threshold: Double = 0.8, maxShingleFreq: Int = 1000): DataFrame = {
     // Shingles are 64-bit-hashed inside the compiled gram pass: the
@@ -157,19 +170,6 @@ object TextOps {
     df.select(col("doc_id"),
       graft.functions.VectorExprs.minhashSig(col(textCol), k, numHashes).as("sig"))
 
-  /** MinHash-LSH near-dup candidates: band the signature, join on band
-    * buckets, then verify candidates with exact Jaccard ≥ threshold.
-    * The band join is the blocking step that replaces the all-pairs
-    * product at scale (SURVEY.md §7.1 step 5); verification keeps the
-    * output exact-equal to `jaccardPairs` whenever banding recall is 1.
-    *
-    * Default (numHashes=128, bands=16, rows=8) is the committed sweep's
-    * winner at the production threshold 0.8 (graft.MinHashSweepBench,
-    * BENCH/BASELINE.md §9): the most selective config above the 0.95
-    * banding-recall bar (0.988 recall at 0.102 candidates/doc — rows=1
-    * settings like q14's oracle-exact one admit every mildly-similar pair,
-    * 63% more candidates on the graded corpus and unboundedly more on real
-    * web text). S-curve midpoint (1/16)^(1/8) ≈ 0.71. */
   /** Banded-LSH candidate pairs (a < b, distinct) BEFORE exact
     * verification — the blocking stage of [[minhashPairs]], exposed so the
     * banding sweep (graft.MinHashSweepBench) can measure candidate-pair
@@ -259,6 +259,23 @@ object TextOps {
     }
   }
 
+  /** MinHash-LSH near-dup pairs: band the signature, join on band buckets
+    * ([[minhashCandidates]]), then verify candidates with exact Jaccard ≥
+    * threshold. The band join is the blocking step that replaces the
+    * all-pairs product at scale (SURVEY.md §7.1 step 5); verification uses
+    * full array intersection/union, so every surfaced pair carries its
+    * exact Jaccard, and the output equals an all-pairs exact scan whenever
+    * banding recall is 1 (it can even EXCEED [[jaccardPairs]] on corpora
+    * where that plan's `maxShingleFreq` guard binds — see its exactness
+    * contract).
+    *
+    * Default (numHashes=128, bands=16, rows=8) is the committed sweep's
+    * winner at the production threshold 0.8 (graft.MinHashSweepBench,
+    * BENCH/BASELINE.md §9): the most selective config above the 0.95
+    * banding-recall bar (0.988 recall at 0.102 candidates/doc — rows=1
+    * settings like q14's oracle-exact one admit every mildly-similar pair,
+    * 63% more candidates on the graded corpus and unboundedly more on real
+    * web text). S-curve midpoint (1/16)^(1/8) ≈ 0.71. */
   def minhashPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
                    numHashes: Int = 128, bands: Int = 16,
                    threshold: Double = 0.8,
@@ -299,14 +316,27 @@ object TextOps {
       graft.functions.VectorExprs.simhash60(col(textCol)).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
-    * 15-bit quarters (pigeonhole: any pair within distance ≤ 3 shares at
-    * least one of 4 blocks). */
+    * maxDist+1 signature slices (pigeonhole: a pair differing in ≤ maxDist
+    * bits leaves at least one of maxDist+1 disjoint slices untouched, so
+    * it always shares a block key — recall 1 at every radius, unlike a
+    * fixed 4-block layout whose guarantee stops at distance 3). maxDist=3
+    * reproduces the original 4 × 15-bit quarters bit-for-bit. Wider radii
+    * trade selectivity (narrower slices ⇒ bigger buckets) for the same
+    * guarantee; the exact Hamming filter stays the arbiter either way. */
   def simhashPairs(df: DataFrame, textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 60,
+      s"maxDist must be in [0, 60) for a 60-bit signature, got $maxDist " +
+        "(at >= 60 every pair qualifies — that is a cross join, not a dedup)")
+    val nBlocks = maxDist + 1
+    val bounds = (0 to nBlocks).map(b => b * 60 / nBlocks)
     val sigs = simhashSigs(df, textCol)
     val blocked = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until nBlocks).map { b =>
+          val off = bounds(b)
+          val width = bounds(b + 1) - off
           struct(lit(b).as("blk"),
-            shiftright(col("sig"), b * 15).bitwiseAND(0x7fffL).as("key"))): _*)).as("e"))
+            shiftright(col("sig"), off).bitwiseAND(lit((1L << width) - 1)).as("key"))
+        }: _*)).as("e"))
       .select(col("doc_id"), col("sig"), col("e.blk"), col("e.key"))
     val popcnt = (c: Column) => bit_count(c)
     blocked.as("x").join(blocked.as("y"),

@@ -59,6 +59,11 @@ object GraphOps {
       }
       i += 1
     }
+    // no-silent-caps: a >maxIter-deep graph would otherwise return a
+    // truncated closure and every downstream op (TR, LCA, reduceSubset,
+    // search spaces) would be silently wrong on the deep tail
+    require(done, s"ancestorClosure did not converge in $maxIter iterations " +
+      "(graph deeper than maxIter) — raise maxIter")
     closure
   }
 
@@ -100,6 +105,8 @@ object GraphOps {
       }
       i += 1
     }
+    require(done, s"depths did not converge in $maxIter iterations " +
+      "(graph deeper than maxIter) — raise maxIter")
     level
   }
 
@@ -144,7 +151,10 @@ object GraphOps {
     * aggregation over the closure instead of the driver's colour-BFS. */
   def lca(nodes: DataFrame, edges: DataFrame, query: DataFrame,
           closure0: Option[DataFrame] = None): DataFrame = {
-    val q = query.select(col("id")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: eager (the count below reads the cached
+    // RDD) and GC-reclaimed when the plan dies — persist() here leaked one
+    // cache-manager entry per lca() call
+    val q = query.select(col("id")).distinct().localCheckpoint(true)
     val n0 = q.count()
     if (n0 == 0) return leaves(nodes, edges)
     val closure = closure0.getOrElse(ancestorClosure(edges))
@@ -235,6 +245,14 @@ object GraphOps {
       }
       i += 1
     }
+    require(done, s"insertionSearchSpaceNodes did not converge in $maxIter " +
+      "iterations (graph deeper than maxIter) — raise maxIter")
+    // `space` is eagerly localCheckpointed every iteration, so by here it
+    // is materialized and independent of these cached intermediates —
+    // dropping them is free and keeps repeated calls from accumulating
+    // dead blocks in executor storage (persist() is cache-manager-owned,
+    // never GC-reclaimed, unlike the loop's RDD localCheckpoints)
+    closure.unpersist(); baseR.unpersist(); allowed.unpersist(); e.unpersist()
     space
   }
 
@@ -277,6 +295,9 @@ object GraphOps {
       i += 1
     }
     sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "pointer-jumping rounds — raise maxIter (silently-partial components " +
+      "would merge wrong canonicalization clusters)")
     labels.select(col("node"), col("comp").as("component"))
   }
 

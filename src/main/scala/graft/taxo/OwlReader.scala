@@ -25,21 +25,45 @@ object OwlReader {
     val labels = mutable.HashMap.empty[String, String] // class IRI -> label
     val children = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]] // parent -> kids
 
+    // DIRECT children only: getElementsByTagNameNS returns ALL descendants,
+    // so a label or subClassOf inside a NESTED owl:Class axiom would be
+    // mis-attributed to the outer class (rdflib, the reference's parser,
+    // scopes each property to its own subject node)
+    def direct(e: org.w3c.dom.Element, ns: String, local: String): Seq[org.w3c.dom.Element] = {
+      val out = mutable.ArrayBuffer.empty[org.w3c.dom.Element]
+      var c = e.getFirstChild
+      while (c != null) {
+        c match {
+          case el: org.w3c.dom.Element
+            if ns == el.getNamespaceURI && el.getLocalName == local => out += el
+          case _ =>
+        }
+        c = c.getNextSibling
+      }
+      out.toSeq
+    }
+    def classIri(e: org.w3c.dom.Element): String =
+      Option(e.getAttributeNS(RdfNs, "about")).filter(_.nonEmpty)
+        .orElse(Option(e.getAttributeNS(RdfNs, "ID")).filter(_.nonEmpty).map("#" + _))
+        .getOrElse("")
+
     val classes = doc.getElementsByTagNameNS(OwlNs, "Class")
     for (i <- 0 until classes.getLength) {
       val cls = classes.item(i).asInstanceOf[org.w3c.dom.Element]
-      val iri = Option(cls.getAttributeNS(RdfNs, "about")).filter(_.nonEmpty)
-        .orElse(Option(cls.getAttributeNS(RdfNs, "ID")).filter(_.nonEmpty).map("#" + _))
-        .getOrElse("")
+      val iri = classIri(cls)
       if (iri.nonEmpty) {
-        val lbl = cls.getElementsByTagNameNS(RdfsNs, "label")
-        if (lbl.getLength > 0 && !labels.contains(iri))
-          labels(iri) = lbl.item(0).getTextContent
-        val subs = cls.getElementsByTagNameNS(RdfsNs, "subClassOf")
-        for (j <- 0 until subs.getLength) {
-          val parent = subs.item(j).asInstanceOf[org.w3c.dom.Element]
-            .getAttributeNS(RdfNs, "resource")
-          if (parent != null && parent.nonEmpty) // named classes only (skip blank nodes)
+        for (lbl <- direct(cls, RdfsNs, "label").headOption if !labels.contains(iri))
+          labels(iri) = lbl.getTextContent
+        for (sub <- direct(cls, RdfsNs, "subClassOf")) {
+          // the object is either an rdf:resource attribute or a nested
+          // NAMED class node (<owl:Class rdf:about=.../>), which RDF/XML
+          // parses to the identical subClassOf triple; genuinely blank
+          // nodes (restrictions, anonymous classes) are skipped as before
+          val res = sub.getAttributeNS(RdfNs, "resource")
+          val parent =
+            if (res != null && res.nonEmpty) res
+            else direct(sub, OwlNs, "Class").map(classIri).find(_.nonEmpty).getOrElse("")
+          if (parent.nonEmpty)
             children.getOrElseUpdate(parent, mutable.ArrayBuffer.empty) += iri
         }
       }

@@ -119,7 +119,14 @@ object TaxoJson {
       val nodes2 = nodes.filter(col("id") =!= 0L).union(rootRow)
       val autoEdges = tops.filter(col("id") =!= 0L)
         .select(col("id").as("src"), lit(0L).as("dst"), lit("auto").as("label"))
-      (nodes2, edges.union(autoEdges))
+      // the driver twin's removeNode(0) CASCADES: every edge incident to
+      // the displaced node 0 goes with it (an input edge 0->x kept here
+      // would turn into a cycle root->x->root once x gets its auto edge;
+      // an input x->0 would silently re-parent x onto the synthesized
+      // root where the driver leaves x parentless). tops is computed
+      // BEFORE the drop, exactly like the driver's getGCD-then-remove.
+      val cleaned = edges.filter(col("src") =!= 0L && col("dst") =!= 0L)
+      (nodes2, cleaned.union(autoEdges))
     }
   }
 

@@ -96,6 +96,28 @@ class CliSpec extends SparkSpecBase {
     assert(msgs.exists(_.startsWith("FAIL: Taxonomy contains cycles.")))
   }
 
+  test("loadDF root synthesis drops edges incident to the displaced node 0 (driver parity)") {
+    import spark.implicits._
+    // node 0 exists with a PARENT edge 0->5: the driver's synthesizeRoot
+    // removeNode(0) cascade drops that edge before re-minting the root;
+    // keeping it would make the new root a child of 5 (a cycle once 5
+    // gets its auto edge to the root)
+    val json =
+      """{"nodes": [{"id": 0, "label": "old"}, {"id": 5, "label": "a"},
+        |           {"id": 9, "label": "b"}],
+        |"edges": [{"src": 0, "tgt": 5}]}""".stripMargin
+    val p = Files.createTempFile("cli_root0", ".json")
+    Files.writeString(p, json)
+    val (nodes, edges) = TaxoJson.loadDF(spark, p.toString)
+    val dfEdges = edges.select("src", "dst", "label")
+      .as[(Long, Long, String)].collect().toSet
+    val driver = TaxoJson.loadString(json)
+    val driverEdges = driver.edges.toSet
+    assert(dfEdges == driverEdges, s"DF $dfEdges vs driver $driverEdges")
+    assert(dfEdges == Set((5L, 0L, "auto"), (9L, 0L, "auto")))
+    assert(nodes.as[(Long, String)].collect().toMap.keySet == Set(0L, 5L, 9L))
+  }
+
   test("validate dispatches OWL input by extension") {
     val owl =
       """<?xml version="1.0"?>
@@ -148,6 +170,7 @@ class CliSpec extends SparkSpecBase {
         |"semiauto_seeds": [3, 4], "max_outer_loop": 5,
         |"manual_concept_bases": [[1, 2], [3]],
         |"subgraph_force": [["auto"], ["original", "new"]],
+        |"max_child_fanout": 10000,
         |"rand_seed": 42, "do_lexical_check": false, "bogus": true}""".stripMargin)
     assert(icon.mode == "semiauto")
     assert(icon.threshold == 0.7)
@@ -157,6 +180,7 @@ class CliSpec extends SparkSpecBase {
     assert(icon.manualConceptBases.contains(Seq(Seq(1L, 2L), Seq(3L))))
     assert(icon.subgraphForce == Seq(Set("auto"), Set("original", "new")))
     assert(icon.randSeed == 42L)
+    assert(icon.maxChildFanout == 10000)
     assert(!icon.doLexicalCheck)
     // defaults survive for unspecified keys
     assert(icon.retrieveSize == 10 && icon.doUpdate)

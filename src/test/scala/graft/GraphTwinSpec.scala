@@ -28,6 +28,23 @@ class GraphTwinSpec extends SparkSpecBase {
   private def sample(seed: Int, mod: Int): Seq[Long] =
     taxo.nodes.toSeq.sorted.filter(n => ((Tokenset.fnv1a64(s"$seed:$n") % mod) + mod) % mod == 0)
 
+  test("fixpoints fail fast instead of returning a silently-truncated result") {
+    // a 5-node chain needs 4 closure hops; maxIter=2 must throw, not hand
+    // back a partial closure that downstream TR/LCA would silently misuse
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException] {
+      GraphOps.ancestorClosure(chain, maxIter = 2).count()
+    }
+    assert(e1.getMessage.contains("did not converge"))
+    val chainNodes = (1L to 5L).map(n => (n, s"n$n")).toDF("id", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.depths(chainNodes, chain, maxIter = 2).count()
+    }
+    assert(e2.getMessage.contains("did not converge"))
+    // convergent inputs are unaffected
+    assert(GraphOps.ancestorClosure(chain).count() == 4 + 3 + 2 + 1)
+  }
+
   test("distributed reduce_subset equals the driver twin (both directions)") {
     for (seed <- 1 to 4) {
       val subset = sample(seed, 5)

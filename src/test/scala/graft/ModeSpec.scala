@@ -61,6 +61,37 @@ class ModeSpec extends AnyFunSuite {
     assert(t.linkIri("http://x.org/onto#2") == 2L)
   }
 
+  test("OWL reader scopes properties per class and accepts nested named-class subClassOf") {
+    // rdflib (the reference's parser) emits <#1> rdfs:subClassOf <#7> for
+    // the nested-class form, and never attributes a nested class's label
+    // or subClassOf to the OUTER class — descendant-scoped DOM queries did
+    // both wrong
+    val owl =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+        |         xmlns:owl="http://www.w3.org/2002/07/owl#">
+        |  <owl:Class rdf:about="http://x.org/onto#1">
+        |    <rdfs:label>Inner Parent Form</rdfs:label>
+        |    <rdfs:subClassOf>
+        |      <owl:Class rdf:about="http://x.org/onto#7">
+        |        <rdfs:label>Nested Named</rdfs:label>
+        |        <rdfs:subClassOf rdf:resource="http://www.w3.org/2002/07/owl#Thing"/>
+        |      </owl:Class>
+        |    </rdfs:subClassOf>
+        |  </owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val path = java.nio.file.Files.createTempFile("onto_nested", ".owl")
+    java.nio.file.Files.writeString(path, owl)
+    val t = OwlReader.fromOwl(path.toString)
+    // edge 1->7 from the nested form; 7->0 from the inner resource form —
+    // and NOT 1->0 (the inner subClassOf must not leak to the outer class)
+    assert(t.containsEdge(7, 0), "nested class's own subClassOf must reach Thing")
+    assert(t.containsEdge(1, 7), "nested named-class subClassOf must become an edge")
+    assert(!t.containsEdge(1, 0), "inner subClassOf must not be attributed to the outer class")
+    assert(t.getLabel(1) == "Inner Parent Form" && t.getLabel(7) == "Nested Named")
+  }
+
   test("tree subsumes and LCA specializations") {
     val t = new TreeTaxo(0L)
     for ((id, l) <- Seq((0L, "R"), (1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"))) t.addNode(id, Some(l))

@@ -78,6 +78,25 @@ class OpsSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhashPairs pigeonhole blocking is recall-1 at every radius") {
+    // brute-force oracle over the collected signatures: at radius d the
+    // d+1-slice blocking must surface EXACTLY the pairs within hamming d
+    // (the old fixed 4-block layout lost pairs beyond distance 3 — one
+    // differing bit per quarter shares no block key)
+    val docs = (1L to 30L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} alpha beta gamma")).toDF("doc_id", "text")
+    val sigs = TextOps.simhashSigs(docs).as[(Long, Long)].collect().toMap
+    for (d <- Seq(0, 3, 4, 7, 12)) {
+      val expect = (for {
+        a <- 1L to 30L; b <- (a + 1) to 30L
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= d
+      } yield (a, b)).toSet
+      val got = TextOps.simhashPairs(docs, maxDist = d)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"radius $d: got ${got.size}, expect ${expect.size}")
+    }
+  }
+
   test("cosine top-k ranks an identical vector first") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0.01f, 0f)),
