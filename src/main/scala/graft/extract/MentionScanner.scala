@@ -16,6 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * at corpus scale. */
 object MentionScanner {
 
+  /** String-level lowercase of one non-ASCII char — the column twin lowers
+    * the WHOLE document (`lower(text)`), and full case mapping can expand a
+    * char to several (U+0130 'İ' → 'i' + combining dot U+0307): per-char
+    * Character.toLowerCase cannot express that and kept "İstanbul" one
+    * token where the column form splits ["i","stanbul"]. Context-sensitive
+    * mappings (final sigma) differ from this per-char form only in chars
+    * that are token separators either way, so token streams still match.
+    * ASCII never reaches here (the sinks' fast path). */
+  private[extract] def loweredNonAscii(c0: Char): String =
+    String.valueOf(c0).toLowerCase(java.util.Locale.ROOT)
+
   /** Streaming bigram tokenizer: consumes extracted characters one at a
     * time; bigrams of consecutive [a-z0-9]+ tokens (lowercased), both
     * non-stopword — identical semantics to split(lower(text), "[^a-z0-9]+")
@@ -25,9 +36,20 @@ object MentionScanner {
     private val tok = new java.lang.StringBuilder(24)
     private var prev: String = null
     override def accept(c0: Char): Unit = {
-      val c = Character.toLowerCase(c0)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
-      else flushToken()
+      if (c0 < 0x80) {
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
+        else flushToken()
+      } else {
+        val low = loweredNonAscii(c0)
+        var k = 0
+        while (k < low.length) {
+          val c = low.charAt(k)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
+          else flushToken()
+          k += 1
+        }
+      }
     }
     private def flushToken(): Unit = {
       if (tok.length > 0) {
@@ -208,9 +230,22 @@ object MentionScanner {
     private var prevId = -1
     var overflowed = false
     override def accept(c0: Char): Unit = {
-      val c = Character.toLowerCase(c0)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
-      else flushToken()
+      if (c0 < 0x80) {
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
+        else flushToken()
+      } else {
+        // see loweredNonAscii — must match the column twin's full-string
+        // lower(), which can expand one char to several
+        val low = loweredNonAscii(c0)
+        var k = 0
+        while (k < low.length) {
+          val c = low.charAt(k)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { tok.append(c); () }
+          else flushToken()
+          k += 1
+        }
+      }
     }
     private def flushToken(): Unit = {
       if (tok.length > 0) {

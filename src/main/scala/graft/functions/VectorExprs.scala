@@ -84,6 +84,40 @@ object VectorExprs {
     case DoubleType => arr.getDouble(i)
     case other => throw new IllegalArgumentException(s"numeric array expected, got $other")
   }
+
+  /** Compiled once and shared: String.split(regex) compiles a fresh
+    * java.util.regex.Pattern on EVERY call — one per row on the text
+    * kernels' hot paths (the same class of per-row waste the thread-local
+    * MD5 in SimHashExpr exists to avoid). */
+  private[functions] val WS: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
+  /** Lowercase, whitespace-split, drop empties, then emit every k-gram in
+    * position order (n < k ⇒ ONE gram of all tokens joined; "" for an
+    * empty document) — the single source of the gram semantics shared
+    * bit-for-bit by WordShinglesExpr, WordShingleHashesExpr, and
+    * MinHashSigExpr (previously triplicated; each caller keeps its own
+    * distinct-set, so dedup identity — string vs hash — is unchanged). */
+  private[functions] def forEachGram(input: Any, k: Int)(f: String => Unit): Unit = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = WS.split(text).filter(_.nonEmpty)
+    if (toks.length >= k) {
+      val sb = new java.lang.StringBuilder(k * 12)
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        f(sb.toString)
+        i += 1
+      }
+    } else f(toks.mkString(" "))
+  }
 }
 
 /** Exact cosine similarity between two numeric arrays (double precision,
@@ -99,7 +133,16 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // fail fast, don't truncate: a min(n)-dim dot drops the wider side's
+    // tail mass from the DENOMINATOR too, returning a plausible but
+    // inflated cosine (mixed-width frames — the RhpSigExpr guard's exact
+    // failure family). The fold form this kernel replaced returned NULL
+    // on unequal lengths; an error beats both a null and a wrong number.
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: mismatched embedding widths ${x.numElements()} vs " +
+          s"${y.numElements()} — re-embed to a single width before comparing")
+    val n = x.numElements()
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
@@ -130,26 +173,9 @@ case class WordShinglesExpr(child: Expression, k: Int)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = text.split("\\s+").filter(_.nonEmpty)
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-    if (toks.length >= k) {
-      val sb = new java.lang.StringBuilder(k * 12)
-      var i = 0
-      while (i <= toks.length - k) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
-        i += 1
-      }
-    } else {
-      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" ")))
+    VectorExprs.forEachGram(input, k) { g =>
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(g)); ()
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size())))
@@ -173,26 +199,9 @@ case class WordShingleHashesExpr(child: Expression, k: Int)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = text.split("\\s+").filter(_.nonEmpty)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
-    if (toks.length >= k) {
-      val sb = new java.lang.StringBuilder(k * 12)
-      var i = 0
-      while (i <= toks.length - k) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        out.add(graft.lexical.Tokenset.fnv1a64(sb.toString))
-        i += 1
-      }
-    } else {
-      out.add(graft.lexical.Tokenset.fnv1a64(toks.mkString(" ")))
+    VectorExprs.forEachGram(input, k) { g =>
+      out.add(graft.lexical.Tokenset.fnv1a64(g)); ()
     }
     val arr = new Array[Long](out.size())
     val it = out.iterator()
@@ -215,6 +224,8 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
                                 cents: Seq[Seq[Double]], nProbe: Int)
     extends UnaryExpression with CodegenFallback {
   require(ids.nonEmpty && ids.length == cents.length && nProbe >= 1)
+  require(cents.forall(_.length == cents.head.length),
+    "centroids must share one embedding width (mixed-width corpus sample)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -226,6 +237,14 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // fail fast on width mismatch: a min(n)-dim dot against a full-width
+    // input norm systematically deflates every probe score (cell
+    // assignment degrades to noise with no failure signal) — the same
+    // mixed-width family the cosine/RHP kernels now guard against
+    if (n != cm(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_centroids: $n-dim input vs ${cm(0).length}-dim centroids " +
+          "— re-embed to a single width before IVF assignment")
     val x = new Array[Double](n)
     var i = 0
     while (i < n) { x(i) = VectorExprs.readAsDouble(v, et, i); i += 1 }
@@ -235,10 +254,9 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
     vn = math.sqrt(vn)
     val scored = Array.tabulate(cm.length) { c =>
       val cv = cm(c)
-      val m = math.min(n, cv.length)
       var d = 0.0
       var j = 0
-      while (j < m) { d += x(j) * cv(j); j += 1 }
+      while (j < n) { d += x(j) * cv(j); j += 1 }
       val cos = d / (vn * cnorm(c))
       // zero-norm input/centroid ⇒ NaN; rank it last (BigDecimal(NaN)
       // would throw and fail the whole job, unlike the exact path which
@@ -281,26 +299,9 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
       VectorExprs.fmix64(graft.lexical.Tokenset.fnv1a64(s"mh:b:$i")))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = text.split("\\s+").filter(_.nonEmpty)
     val grams = new java.util.LinkedHashSet[java.lang.Long]()
-    if (toks.length >= k) {
-      val sb = new java.lang.StringBuilder(k * 12)
-      var i = 0
-      while (i <= toks.length - k) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        grams.add(graft.lexical.Tokenset.fnv1a64(sb.toString))
-        i += 1
-      }
-    } else {
-      grams.add(graft.lexical.Tokenset.fnv1a64(toks.mkString(" ")))
+    VectorExprs.forEachGram(input, k) { g =>
+      grams.add(graft.lexical.Tokenset.fnv1a64(g)); ()
     }
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val it = grams.iterator()
@@ -337,7 +338,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
       .toString.toLowerCase(java.util.Locale.ROOT)
     val md = SimHashExpr.digests.get()
     val votes = new Array[Int](60)
-    val toks = text.split("\\s+")
+    val toks = VectorExprs.WS.split(text) // shared compiled Pattern (per-row split() recompiled it)
     var t = 0
     while (t < toks.length) {
       val w = toks(t)
@@ -411,6 +412,11 @@ case class RhpSigExpr(child: Expression, bits: Int, dim: Int,
         s"rhp_sig: ${v.numElements()}-dim embedding exceeds the $dim-dim " +
           "plane table — pass the real embedding width (dimensions above " +
           "the table width would be silently ignored)")
+    // narrower rows: dims >= n contribute NOTHING to the plane dot (they
+    // read as the center value, not as zero — a zero-padded twin of the
+    // same vector would add (0 - center_i)·sign_i terms). Deliberate and
+    // matched bit-for-bit by the driver twin BandedIndex.signature, so
+    // both paths bucket narrow rows identically.
     val n = math.min(v.numElements(), dim)
     val x = new Array[Double](n)
     var i = 0

@@ -129,8 +129,13 @@ object MediaOps {
   /** Frame sampling for video rows: keep every `stride`-th frame index as a
     * (mediaId, frameIdx) table — the shuffle-free explode that a frame-level
     * pipeline fans out from. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.filter(col("kind") === "video")
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    // total function: sequence(0, -1, +stride) throws ("Illegal sequence
+    // boundaries") — a frames=0 row (corrupt metadata) must yield no rows,
+    // not fail the job; stride must be positive for the same reason
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.filter(col("kind") === "video" && col("frames") > 0)
       .select(col("mediaId"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frameIdx"))
+  }
 }

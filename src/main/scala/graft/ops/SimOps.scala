@@ -116,11 +116,15 @@ object SimOps {
     * only (cheap shuffle keys); vectors are re-joined for verification. */
   /** Vectors wider than the plane table lose the mass above `dim` from
     * their signatures — the degenerate-bucket failure documented at
-    * banded(). Narrower is fine (missing dims read as 0). One take(1)
-    * probe per entry call; plans untouched. This is the fast driver-side
-    * failure only: a mixed-width frame whose first row happens to be
-    * narrow passes it, so RhpSigExpr also guards EVERY row at eval time
-    * (same error, surfaced through the task failure). */
+    * banded(). Narrower is accepted with a precise semantics: a missing
+    * dim contributes NOTHING to the plane dot — i.e. it reads as the
+    * CENTER value, not as zero — identically in the column kernel
+    * (RhpSigExpr) and the driver index (BandedIndex.signature), so the
+    * twins always bucket narrow rows the same way. One take(1) probe per
+    * entry call; plans untouched. This is the fast driver-side failure
+    * only: a mixed-width frame whose first row happens to be narrow
+    * passes it, so RhpSigExpr also guards EVERY row at eval time (same
+    * error, surfaced through the task failure). */
   private def requireWidth(df: DataFrame, dim: Int): Unit =
     df.select(size(col("embedding"))).take(1).foreach { r =>
       require(r.getInt(0) <= dim,

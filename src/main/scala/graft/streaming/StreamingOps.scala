@@ -174,7 +174,14 @@ object StreamingOps {
         val t = toMicros(e.ts)
         cur match {
           case Some(s) if t - s.end <= gapMicros =>
-            cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+            // min the start too: a late-but-above-watermark event from a
+            // later BATCH can predate the open session's first event; the
+            // batch twin (full history, sorted) reports min(ts) as
+            // session_start. (Residual divergence, documented: an event
+            // predating start - gap would batch-wise form its own earlier
+            // session; Append mode cannot re-emit, so it merges here.)
+            cur = Some(s.copy(start = math.min(s.start, t),
+              end = math.max(s.end, t), n = s.n + 1))
           case Some(s) =>
             out += emit(s)
             cur = Some(SessState(t, t, 1L, s.seq + 1))

@@ -58,6 +58,26 @@ class ExtractSpec extends SparkSpecBase {
     assert(fused == composed)
   }
 
+  test("scanner tokenization matches the column twin on non-ASCII text") {
+    import spark.implicits._
+    // the column twin lowers the WHOLE string (full case mapping: U+0130
+    // 'İ' expands to 'i' + combining dot, a token boundary); per-char
+    // Character.toLowerCase kept "İstanbul" one token — the column form
+    // is the arbiter of the contract
+    val samples = Seq(
+      "İstanbul ÜRÜN ağaç table chair data",
+      "ΑΣ σ table chair İ9 k9 data set",
+      "crème BRÛLÉE data set vector table",
+      "İİ Kİ data set table İ chair")
+    val colForm = samples.toDF("text")
+      .select(graft.pipeline.KgPipeline.mentionBigrams($"text").as("m"))
+      .as[Seq[String]].collect()
+    for ((s, expect) <- samples.zip(colForm)) {
+      val fused = graft.extract.MentionScanner.mentionsFromText(s).toSeq
+      assert(fused == expect, s"input '$s': fused=$fused column=$expect")
+    }
+  }
+
   test("intra-document state cap: a pathological page spills mid-document, counts stay exact") {
     import spark.implicits._
     import graft.extract.MentionScanner
