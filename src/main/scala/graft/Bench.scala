@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats through the default locale: under e.g.
+    // de_DE "%.3f" renders "1,234" and the JSON line becomes unparseable —
+    // pin ROOT before any number is formatted
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -26,14 +30,26 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      // a throwing query must NOT read as a fast success (an early failure
+      // spends ~0 s, "improving" the total) — keep the run going so one
+      // broken query doesn't hide the other 32 timings, but surface the
+      // failure in the JSON and the exit code
+      val rows = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, sec, rows)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, r) if r < 0 => "\"" + k + "\"" }
+    val failedJson =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

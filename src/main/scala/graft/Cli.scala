@@ -41,7 +41,7 @@ object Cli {
     def printTree(node: Long, indent: Int): Unit = {
       if (visited.contains(node) || indent > depth) return
       visited += node
-      val label = Option(taxo.getLabel(node)).filter(_ != null).getOrElse(node.toString)
+      val label = Option(taxo.getLabel(node)).getOrElse(node.toString)
       out("  " * indent + label)
       for (child <- taxo.getChildren(node)) printTree(child, indent + 1)
     }
@@ -50,7 +50,9 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
+    // every subcommand takes a file: demand it up front so `Cli view`
+    // prints usage instead of a raw ArrayIndexOutOfBoundsException
+    require(args.length >= 2,
       "usage: Cli <view|validate|convert|enrich> <taxo.{json,owl,rdf}> [options]")
     args(0) match {
       case "view" =>

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * machine's scaling ceiling from the engine's. */
 object CpuProbe {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON output: '.' decimal separator regardless of host locale
     val cores = args(0).toInt
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * bigram explode → mention count. Usage: runMain graft.ExtractBench <cores> <path> */
 object ExtractBench {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON output: '.' decimal separator regardless of host locale
     val cores = args(0).toInt
     val path = if (args.length > 1) args(1) else "/tmp/kgbench_corpus_500000"
     val spark = SparkSession.builder()

@@ -57,6 +57,7 @@ object MinHashSweepBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON output: '.' decimal separator regardless of host locale
     val n = if (args.length > 0) args(0).toLong else 50000L
     val threshold = if (args.length > 1) args(1).toDouble else 0.8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

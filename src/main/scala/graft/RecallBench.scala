@@ -41,6 +41,7 @@ object RecallBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON output: '.' decimal separator regardless of host locale
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val k = if (args.length > 1) args(1).toInt else 5
     val repeats = if (args.length > 2) args(2).toInt else 10

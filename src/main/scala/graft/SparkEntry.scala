@@ -61,7 +61,10 @@ object SparkEntry {
   private val q31DocsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q31DocsDir(sfDir: String): String =
     q31DocsDirs.computeIfAbsent(sfDir, { _ =>
-      val target = java.nio.file.Paths.get(t(sfDir, "documents"))
+      // absolute target: a relative sfDir would store a relative link that
+      // the OS resolves against the TEMP dir — a dangling symlink only q31
+      // would trip over
+      val target = java.nio.file.Paths.get(t(sfDir, "documents")).toAbsolutePath
       if (java.nio.file.Files.isDirectory(target)) target.toString
       else {
         val dir = java.nio.file.Files.createTempDirectory("q31docs")
@@ -171,9 +174,15 @@ object SparkEntry {
     // k=3 shingles: the synthetic corpus has a 28-word vocabulary, so 2-gram
     // posting lists are pathologically dense (570+ docs/shingle → quadratic
     // join); 3-grams have ~10 docs/shingle and the inverted-index join stays
-    // linear in corpus size
+    // linear in corpus size. maxShingleFreq is pinned OFF (Int.MaxValue):
+    // this query's oracle is an exact all-pairs Jaccard, and shingle df
+    // grows linearly with sf on the bounded vocabulary — at roughly sf1
+    // the default 1000 guard would start pruning and silently diverge
+    // from the oracle. The guard is a production-dedup semantics choice
+    // (see jaccardPairs' exactness contract), not part of this query.
     "q13_jaccard_pairs" -> ((s, d) =>
-      TextOps.jaccardPairs(s.read.parquet(t(d, "documents")), k = 3, threshold = 0.12)
+      TextOps.jaccardPairs(s.read.parquet(t(d, "documents")), k = 3, threshold = 0.12,
+          maxShingleFreq = Int.MaxValue)
         .orderBy("a", "b")),
     "q14_minhash_pairs" -> ((s, d) =>
       TextOps.minhashPairs(s.read.parquet(t(d, "documents")), k = 3,
@@ -245,9 +254,13 @@ object SparkEntry {
     }),
     "q25_extract_text" -> ((s, d) => {
       val web = WebtextGen.generate(s, 500, 8)
-      web.select(col("url"),
-          sha2(graft.extract.HtmlExtract.extractBinary(col("html")), 256).as("text_sha"),
-          (graft.extract.HtmlExtract.extractBinary(col("html")) === col("text")).as("matches_golden"))
+      // extract ONCE per row: two independent extractBinary trees are not
+      // reliably deduped by subexpression elimination for a CodegenFallback
+      // node, and the HTML scan is the dominant per-row cost here
+      web.withColumn("extracted", graft.extract.HtmlExtract.extractBinary(col("html")))
+        .select(col("url"),
+          sha2(col("extracted"), 256).as("text_sha"),
+          (col("extracted") === col("text")).as("matches_golden"))
         .orderBy("url")
     }),
     "q26_mentions" -> ((s, d) =>
@@ -276,7 +289,10 @@ object SparkEntry {
       val q = graft.streaming.StreamingOps.streamingMentionsAppend(
         s, docsDir, s.read.parquet(docsDir).schema,
         q31SentinelDir(s), s.read.parquet(q31SentinelDir(s)).schema, sink)
-      q.awaitTermination(300000)
+      // awaitTermination returns FALSE on timeout (it does not throw):
+      // falling through would read a partially-drained sink — a silently
+      // wrong result in Verify and a leaked still-running query in Bench
+      require(q.awaitTermination(300000), "q31 stream did not drain in 300 s")
       s.table(sink)
         .filter(col("freq") >= 3)
         .select(col("mention"), col("freq"))
@@ -289,7 +305,7 @@ object SparkEntry {
       val dir = q33EventsDir(s, d)
       val q = graft.streaming.StreamingOps.streamingSessions(
         s, dir, s.read.parquet(dir).schema, sink)
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000), "q33 stream did not drain in 300 s")
       s.table(sink)
         .filter(col("user_id") >= 0)
         .select(col("user_id").cast("int").as("user_id"), col("session_seq"),
@@ -427,11 +443,7 @@ object SparkEntry {
          |  UNION
          |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.anc = e.src
          |),
-         |nodes AS (
-         |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
-         |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
-         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
-         |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer),
+         |$taxoNodesCte,
          |hop2 AS (
          |  SELECT DISTINCT node, anc FROM (
          |    SELECT src AS node, dst AS anc FROM edges
@@ -461,11 +473,7 @@ object SparkEntry {
          |ORDER BY node, anc, labels""".stripMargin,
     "q28_emb_traindata" ->
       s"""${TaxoQueries.edgesCte},
-         |nodes AS (
-         |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
-         |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
-         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
-         |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer),
+         |$taxoNodesCte,
          |sibs AS (
          |  SELECT src, dst, lag(src) OVER (PARTITION BY dst ORDER BY src) AS sib FROM edges)
          |SELECT nq.label AS query_label, np.label AS positive_label,
@@ -475,28 +483,13 @@ object SparkEntry {
          |ORDER BY query_id, positive_id""".stripMargin,
     "q29_gen_traindata" ->
       s"""${TaxoQueries.edgesCte},
-         |nodes AS (
-         |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
-         |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
-         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
-         |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer)
+         |$taxoNodesCte
          |SELECT 'summarize: ' || array_to_string(list_slice(list_sort(list(nc.label)), 1, 3), '; ') AS text,
          |  np.label AS summary, e.dst AS parent_id
          |FROM edges e JOIN nodes nc ON e.src = nc.id JOIN nodes np ON e.dst = np.id
          |GROUP BY e.dst, np.label
          |ORDER BY parent_id""".stripMargin,
-    "q31_streaming_mentions" ->
-      """WITH toks AS (
-        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x<>'') AS tk
-        |  FROM documents),
-        |grams AS (
-        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS mention
-        |  FROM toks WHERE len(tk) >= 2),
-        |stop AS (SELECT ['a','an','the','and','or','of','for','to','in','on','with','by','at','from','as','is','are','other'] AS sw)
-        |SELECT mention, COUNT(*) AS freq FROM grams, stop
-        |WHERE NOT list_contains(sw, split_part(mention, ' ', 1))
-        |  AND NOT list_contains(sw, split_part(mention, ' ', 2))
-        |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin,
+    "q31_streaming_mentions" -> oracleSqlQ26,
     "q33_streaming_sessions" -> oracleSqlQ07,
     "q19_taxo_ancestors" -> TaxoQueries.ancestorsSql,
     "q20_taxo_leaves" -> TaxoQueries.leavesSql,
@@ -506,18 +499,7 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS node,
         |  CAST(MIN(vec_id) OVER (PARTITION BY label) AS BIGINT) AS component
         |FROM embeddings ORDER BY node""".stripMargin,
-    "q26_mentions" ->
-      """WITH toks AS (
-        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x<>'') AS tk
-        |  FROM documents),
-        |grams AS (
-        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS mention
-        |  FROM toks WHERE len(tk) >= 2),
-        |stop AS (SELECT ['a','an','the','and','or','of','for','to','in','on','with','by','at','from','as','is','are','other'] AS sw)
-        |SELECT mention, COUNT(*) AS freq FROM grams, stop
-        |WHERE NOT list_contains(sw, split_part(mention, ' ', 1))
-        |  AND NOT list_contains(sw, split_part(mention, ' ', 2))
-        |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin
+    "q26_mentions" -> oracleSqlQ26
   )
 
   /** Committed expected-output parquet for queries whose semantics are not
@@ -529,6 +511,31 @@ object SparkEntry {
   private def fixtureOracle(name: String, order: Seq[String]): String =
     s"""SELECT * FROM read_parquet('/root/repo/src/test/resources/fixtures/$name.parquet')
        |ORDER BY ${order.mkString(", ")}""".stripMargin
+
+  /** Taxonomy node table (id, label) — shared by the q27/q28/q29
+    * training-data oracles (was triplicated verbatim; a label or
+    * id-arithmetic tweak to one copy would silently desynchronize them). */
+  private val taxoNodesCte: String =
+    """nodes AS (
+      |  SELECT CAST(0 AS BIGINT) AS id, 'Root Concept' AS label
+      |  UNION ALL SELECT CAST(r_regionkey + 1 AS BIGINT), r_name FROM region
+      |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
+      |  UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer)""".stripMargin
+
+  /** Mention-extraction oracle — shared by the batch q26 and its streaming
+    * twin q31 (same rows by construction; the oracleSqlQ07 pattern). */
+  private val oracleSqlQ26: String =
+    """WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x<>'') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS mention
+      |  FROM toks WHERE len(tk) >= 2),
+      |stop AS (SELECT ['a','an','the','and','or','of','for','to','in','on','with','by','at','from','as','is','are','other'] AS sw)
+      |SELECT mention, COUNT(*) AS freq FROM grams, stop
+      |WHERE NOT list_contains(sw, split_part(mention, ' ', 1))
+      |  AND NOT list_contains(sw, split_part(mention, ' ', 2))
+      |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin
 
   /** Gap-sessionization oracle — shared by the batch q07 and its stateful
     * streaming twin q33 (same rows by construction). */
