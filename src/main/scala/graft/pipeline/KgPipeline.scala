@@ -993,7 +993,8 @@ object KgPipeline {
           "2 GB per million nodes + working set), or shard the corpus into " +
           "independent runs. Embeddings are already distributed above " +
           s"distributedRetrieveNodes=${cfg.distributedRetrieveNodes} and do not " +
-          "contribute to this bound.")
+          "contribute to this bound. The fully-distributed graph design for " +
+          "beyond this regime is specified in SURVEY.md §7.9.")
       // crossover into distributed retrieval without a persisted embedding
       // store: one distributed re-embed pass over the snapshot builds it
       // (batch-64 contract; the store is persisted with this round's
