@@ -308,7 +308,7 @@ object KgPipeline {
     // — no snapshot vector ever lands on the driver or in a broadcast;
     // the remaining driver-resident state (graph + labels + lexical
     // table) is governed by the maxSnapshotNodes fail-fast bound
-    val distMode = taxo.nodes.size > cfg.distributedRetrieveNodes && embStore != null
+    val distMode = taxo.numberOfNodes > cfg.distributedRetrieveNodes && embStore != null
     // the label-hash → node lexical table is built ONCE from the snapshot
     // and shipped with the broadcast, not rebuilt in every task
     val bLexical = sc.broadcast(
@@ -316,7 +316,7 @@ object KgPipeline {
     // past the ANN threshold the search-space build gets the fanout cap
     // too — same scale regime, same switch (BandedIndex scaladoc)
     val iconCfg =
-      if (taxo.nodes.size > cfg.annNodeThreshold && cfg.icon.maxChildFanout == Int.MaxValue)
+      if (taxo.numberOfNodes > cfg.annNodeThreshold && cfg.icon.maxChildFanout == Int.MaxValue)
         cfg.icon.copy(maxChildFanout = 10000)
       else cfg.icon
     val retrieve = cfg.retrieveSize
@@ -758,25 +758,24 @@ object KgPipeline {
 
   private def canonicalizeLocal(ids: Array[Long], emb: Array[Array[Float]],
                                 threshold: Double): Map[Long, Long] = {
-    val parent = mutable.HashMap(ids.map(i => i -> i): _*)
-    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
     def norm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val pairs = mutable.ArrayBuffer.empty[(Long, Long)]
     for (i <- ids.indices; j <- (i + 1) until ids.length) {
       val d = norm(emb(i)) * norm(emb(j))
       val cos = if (d == 0) 0.0 else
         BigDecimal(dot(emb(i), emb(j)) / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if (cos >= threshold) union(ids(i), ids(j))
+      if (cos >= threshold) pairs += ((ids(i), ids(j)))
     }
-    ids.iterator.map(i => i -> find(i)).filter { case (a, b) => a != b }.toMap
+    // one union-find implementation in this file: min-id roots are
+    // identical with or without path compression, so reusing the
+    // compressed twin changes nothing but keeps the two paths from
+    // silently diverging
+    unionFindMinId(pairs.toArray)
   }
 
   /** Returns the edges actually added while re-pointing (for the round's
@@ -829,7 +828,20 @@ object KgPipeline {
     // added edges) with a full snapshot every cfg.compactEvery rounds —
     // resume loads the latest compaction at or before the resume point and
     // replays the delta rounds after it.
+    // parse the crash-injection env ONCE at startup: a typo'd value used
+    // to throw NumberFormatException only at the END of the first round,
+    // after a full round of work
+    val crashAfterRound = sys.env.get("GRAFT_CRASH_AFTER_ROUND").map(_.toInt)
     val resumeRound = lastCompleteRound(ckptDir)
+    // a checkpoint with MORE complete rounds than cfg.rounds is a config
+    // mismatch, not a resume: silently replaying all of them would report
+    // a negative roundsRun and stamp move provenance (cfg.rounds + 1) into
+    // a round that really ran inserts. Replaying an exactly-complete
+    // checkpoint (==) is the supported no-op/move-replay path.
+    require(resumeRound <= cfg.rounds,
+      s"checkpoint at $ckptDir has $resumeRound complete rounds but " +
+        s"cfg.rounds=${cfg.rounds} — pass rounds >= $resumeRound (a re-run " +
+        "over a completed checkpoint replays it; extra rounds extend it)")
     // latest full-snapshot compaction at or before the resume point (0 =
     // none: replay every delta from the seed) — shared by the taxonomy
     // and the scored-pairs store, which compact together
@@ -1013,10 +1025,21 @@ object KgPipeline {
           }.toDF("vec_id", "embedding").persist()
         embFullWrite = true
       }
-      // 2. dedupe candidates against taxonomy lexical table + prior rounds.
+      // 2. dedupe candidates against the taxonomy lexical table + every
+      // mention already RESOLVED in a prior round: an eqv-decided mention's
+      // canonical node is in the taxonomy (under a different label, so the
+      // lexical anti-join alone re-admits it) and a merged-away mint's
+      // label re-mints then re-merges — either way the mention re-decides
+      // the identical outcome every round, appending a duplicate sameAs
+      // row per round and permanently occupying a candidate slot (at
+      // ≥ maxCandidatesPerRound persistent eqv mentions the pipeline stops
+      // admitting new mentions entirely). sameAs is checkpoint-replayed,
+      // so the exclusion set is identical on resume.
       // limit() would collapse downstream parallelism to one task, so the
       // candidate batch is re-spread by mention hash before the decide stage
-      val lexHashes = taxo.nodes.map(n => Tokenset.hash64(taxo.getLabel(n))).toDF("h")
+      val resolvedHashes = sameAs.iterator.map(s => Tokenset.hash64(s._1)).toSet
+      val lexHashes =
+        (taxo.nodes.map(n => Tokenset.hash64(taxo.getLabel(n))) ++ resolvedHashes).toDF("h")
       val hashUdf = udf((s: String) => Tokenset.hash64(s))
       val fresh = timed("candidates") {
         mentions.withColumn("h", hashUdf(col("mention")))
@@ -1086,6 +1109,11 @@ object KgPipeline {
           embCache, r, preloadMaxNodes = cfg.distributedRetrieveNodes))
       val merge = canonRes.merge
       val mergeAdded = canonRes.addedEdges
+      // merge re-points are insertions of THIS round: without this entry
+      // roundOf has no record and their triples report src_round 0,
+      // misattributing a round-r insertion to the seed round (they already
+      // reached the edges_delta checkpoint; provenance must agree)
+      allDeltas ++= mergeAdded.iterator.map { case (u, v, l) => (u, v, l, r) }
       allLineage ++= canonRes.lineage
       val mergedLabels = newConcepts.toMap.map(_.swap) // id -> label
       for ((dup, canon) <- merge; dl <- mergedLabels.get(dup); cl <- mergedLabels.get(canon))
@@ -1203,7 +1231,7 @@ object KgPipeline {
       }
       // crash injection for the kill+resume drive: hard-halt (no cleanup,
       // like SIGKILL) right after round N's checkpoint commits
-      if (sys.env.get("GRAFT_CRASH_AFTER_ROUND").exists(_.toInt == r)) {
+      if (crashAfterRound.contains(r)) {
         System.err.println(s"[pipeline] GRAFT_CRASH_AFTER_ROUND=$r -> halt(137)")
         Runtime.getRuntime.halt(137)
       }

@@ -44,6 +44,9 @@ object LatencyEmbedder {
 
 object RunPipeline {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: RunPipeline <ckptDir> [pages] [rounds] [cores] [maxCandidates] " +
+        "[minFreq] [webtext|rand50k] [distRetrieveNodes] [maxSnapshotNodes]")
     val ckpt = args(0)
     val pages = if (args.length > 1) args(1).toLong else 10000L
     val rounds = if (args.length > 2) args(2).toInt else 2
