@@ -251,7 +251,13 @@ object TextOps {
         .filter(col("a") =!= col("b"))
         .distinct()
     } else {
-      banded.as("x").join(banded.as("y"),
+      // SHUFFLE_HASH (guide §3.1): the banded rows are 16-byte (bucket,
+      // doc_id) pairs, so each post-shuffle partition's hash table is
+      // compact and the two full sorts a sort-merge join would pay on the
+      // exploded table (numHashes rows per doc per side) are pure
+      // overhead; equi-key hash lookup preserves the x.doc_id < y.doc_id
+      // filter semantics unchanged
+      banded.as("x").hint("SHUFFLE_HASH").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -279,30 +285,70 @@ object TextOps {
   def minhashPairs(df: DataFrame, textCol: String = "text", k: Int = 3,
                    numHashes: Int = 128, bands: Int = 16,
                    threshold: Double = 0.8,
-                   maxBucketSize: Int = 1024): DataFrame = {
+                   maxBucketSize: Int = 1024,
+                   postingListVerify: Option[Boolean] = None): DataFrame = {
+    val rows = numHashes / bands
     val cand = minhashCandidates(df, textCol, k, numHashes, bands,
       maxBucketSize = maxBucketSize)
-    // exact-Jaccard verification of the candidates: join back the compiled
-    // long-hash shingle arrays (8-byte elements through the shuffle and the
-    // set ops, instead of k-word strings). The corpus is semi-join pruned
-    // to docs that appear in a candidate pair BEFORE the shingle arrays are
-    // computed: verification cost must scale with the candidate set, not
-    // the corpus — un-pruned, the two verification joins shuffled the full
-    // corpus's hash arrays (~0.8 GB per side at 10⁶ docs), the measured
-    // bulk of the minhash phase regardless of how few candidates surfaced.
+    // the corpus is semi-join pruned to docs that appear in a candidate
+    // pair BEFORE any shingle work: verification cost must scale with the
+    // candidate set, not the corpus — un-pruned, the verification joins
+    // shuffled the full corpus's hash arrays (~0.8 GB per side at 10⁶
+    // docs), the measured bulk of the minhash phase regardless of how few
+    // candidates surfaced.
     val candIds = cand
       .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val texts = df.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
+    val pruned = df.join(candIds, Seq("doc_id"), "left_semi")
+    // Exact-Jaccard verification, two plans by candidate density (the
+    // minhashCandidates geometry switch, measured in round 6):
+    //
+    // rows < 4 (e.g. q14's oracle-exact 128/128): banding at these
+    // geometries admits nearly every pair with ANY overlap — ~760k
+    // candidates on 5k sf0.1 docs — and an array-carry verification
+    // shuffles both docs' full shingle-hash arrays per candidate pair
+    // (O(cand × setSize) bytes; the measured bulk of the query). Instead,
+    // compute (inter, uni) for ALL overlapping pruned-corpus pairs at once
+    // with the q13 posting-list aggregation (shuffle volume O(Σ df²) of
+    // 8-byte keys, shared across pairs) and keep the candidate pairs via
+    // an equi-join on (a, b). Exactness: a candidate pair absent from the
+    // posting-list pairs has inter = 0, i.e. jaccard = 0 < threshold, so
+    // for threshold > 0 the output is row-identical to the array plan
+    // (thresholds <= 0 are not a dedup setting; the array plan serves
+    // them).
+    //
+    // rows >= 4 (the production 128/16): candidates are dup-cluster-rare,
+    // so the per-pair array plan touches far fewer rows than a pruned-
+    // corpus posting-list pass and stays the winner.
+    if (postingListVerify.getOrElse(rows < 4) && threshold > 0) {
+      val st = shingleHashTable(pruned, textCol, k)
+      val posting = st.groupBy("sh")
+        .agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      val inter = posting
+        .select(explode(col("ps")).as("x"), col("ps"))
+        .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
+        .filter(col("a") < col("y.doc_id"))
+        .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
+        .agg(count("*").as("inter"))
+      inter.join(cand, Seq("a", "b"), "left_semi")
+        .withColumn("uni", col("sa") + col("sb") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+    } else {
+      // join back the compiled long-hash shingle arrays (8-byte elements
+      // through the shuffle and the set ops, instead of k-word strings)
+      val texts = pruned.select(col("doc_id"),
         graft.functions.VectorExprs.wordShingleHashes(col(textCol), k).as("sh"))
-    val withSets = cand
-      .join(texts.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
-      .join(texts.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
-      .withColumn("uni", size(array_union(col("shA"), col("shB"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-    withSets.filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+      val withSets = cand
+        .join(texts.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
+        .join(texts.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+        .withColumn("uni", size(array_union(col("shA"), col("shB"))))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      withSets.filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+    }
   }
 
   /** 60-bit SimHash per document (bit-majority vote over md5-derived word

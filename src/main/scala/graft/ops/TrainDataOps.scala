@@ -54,7 +54,7 @@ object TrainDataOps {
         col("node"), col("anc"))
     // negatives: candidate pool = internal nodes (appear as an edge dst);
     // for each node pick the md5-minimal candidate that is NOT an ancestor
-    val closure = GraphOps.ancestorClosure(edges)
+    val (closure, nClosure) = GraphOps.ancestorClosureCounted(edges)
     val uppers = edges.select(col("dst").as("id")).distinct()
       .join(nodes, Seq("id"))
       .select(col("id").as("cand"), col("label").as("candLabel"))
@@ -62,8 +62,12 @@ object TrainDataOps {
     val closureR = closure.select(col("node").as("__cn"), col("anc").as("__ca"))
     val nonAnc = nodes.select(col("id").as("node"), col("label").as("subclass"))
       .crossJoin(broadcast(uppers)) // pool is bounded ⇒ broadcast-nested-loop, never a shuffle
+      // adaptive broadcast of the closure (exact count from the fixpoint):
+      // the RDD-backed closure otherwise size-estimates huge and this
+      // anti-join shuffles the full node×pool product
       .filter(col("node") =!= col("cand"))
-      .join(closureR, col("node") === col("__cn") && col("cand") === col("__ca"), "left_anti")
+      .join(GraphOps.hinted(closureR, nClosure),
+        col("node") === col("__cn") && col("cand") === col("__ca"), "left_anti")
     val w = Window.partitionBy(col("node"))
       .orderBy(TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).asc,
         col("cand").asc)

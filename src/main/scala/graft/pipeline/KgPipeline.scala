@@ -688,7 +688,9 @@ object KgPipeline {
             if (nPairs == 0) Map.empty[Long, Long]
             else if (nPairs <= 1000000)
               unionFindMinId(pairs.as[(Long, Long)].collect())
-            else GraphOps.connectedComponents(pairs)
+            // driverPairLimit = 0: this branch has already dispatched on
+            // nPairs > 1M, so skip the operator's own regime probe
+            else GraphOps.connectedComponents(pairs, driverPairLimit = 0L)
               .filter(col("node") =!= col("component"))
               .as[(Long, Long)].collect().toMap
           (m, m.size.toLong)
@@ -734,27 +736,12 @@ object KgPipeline {
 
   /** Min-id union-find over an explicit pair list: dup -> canonical map for
     * every non-root member. Same semantics as the distributed
-    * connectedComponents + min-component filter it stands in for. */
-  private[graft] def unionFindMinId(pairs: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = parent.getOrElseUpdate(x, x)
-      while (parent(r) != r) r = parent(r)
-      // path compression: without it, min-id unions build chains whose
-      // depth tracks the pair order (a descending-sorted dup cluster is
-      // a depth-n chain) and the closing find-per-key pass goes O(p²) —
-      // compression keeps every find amortized near-constant and does
-      // not change any root
-      var c = x
-      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-      r
-    }
-    for ((a, b) <- pairs) {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    parent.keysIterator.map(k => k -> find(k)).filter { case (a, b) => a != b }.toMap
-  }
+    * connectedComponents + min-component filter it stands in for. The
+    * canonical implementation moved to [[GraphOps.unionFindMinId]] (round
+    * 6: connectedComponents itself now regime-switches through it); this
+    * forwarder keeps the pipeline-local name the specs pin. */
+  private[graft] def unionFindMinId(pairs: Array[(Long, Long)]): Map[Long, Long] =
+    GraphOps.unionFindMinId(pairs)
 
   private def canonicalizeLocal(ids: Array[Long], emb: Array[Array[Float]],
                                 threshold: Double): Map[Long, Long] = {

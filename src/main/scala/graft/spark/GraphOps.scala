@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,6 +15,16 @@ import org.apache.spark.storage.StorageLevel
   * distributed axis (SURVEY.md §2.2). Iteration counts are bounded by graph
   * depth; every loop persists + localCheckpoints its frontier to cut lineage.
   *
+  * Join strategy inside the fixpoints is SIZE-ADAPTIVE (optimization guide
+  * §3.1): a localCheckpointed frontier/closure is RDD-backed, so Spark's
+  * size estimate is `defaultSizeInBytes` (huge) and the planner would pick
+  * a full shuffle join for a 50-row frontier. Every loop already knows the
+  * EXACT row count of its materialized tables (the convergence probe), so
+  * tables under [[broadcastRowLimit]] get an explicit broadcast hint and
+  * larger ones keep the shuffle plan — the hint is a plan choice only,
+  * results are identical, and at 100 TB scale the counts exceed the limit
+  * and the shuffle path is what runs.
+  *
   * Session note: when these fixpoints are driven from DRIVER-BUILT
   * DataFrames (`Seq.toDF`, as in tests or the pipeline's distributed
   * canonicalize path), Spark's constraint propagation can fail inside
@@ -26,45 +36,83 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Max row count for an adaptive broadcast hint inside the fixpoints.
+    * 1M (long, long) rows is ~30 MB as a built hash relation — safely under
+    * executor memory on any sane deployment; override per session with
+    * `spark.conf.set("graft.broadcastRowLimit", n)` (0 disables hinting).
+    * This is a scale-adaptive plan choice, not a tuning constant: the
+    * decision input is the exact measured row count of the loop's own
+    * checkpointed table, so production-size graphs automatically exceed the
+    * limit and keep the shuffle join. */
+  private def broadcastRowLimit(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.broadcastRowLimit", "1000000").toLong
+
+  /** Broadcast-hint `df` when its known exact row count is within the
+    * session's limit; otherwise return it unchanged (shuffle join).
+    * private[graft]: callers that already hold an exact count (e.g.
+    * TrainDataOps over a counted closure) reuse the same adaptive rule. */
+  private[graft] def hinted(df: DataFrame, exactRows: Long): DataFrame =
+    if (exactRows <= broadcastRowLimit(df)) broadcast(df) else df
+
   /** Transitive closure pairs (node, ancestor), excluding self-pairs —
     * distributed `get_ancestors` (G5, taxonomy.py:167-189). Iterative
     * frontier expansion: O(depth) shuffles, each a join on the frontier
     * (small) against the edge table — not closure×closure squaring, so the
     * shuffle volume stays proportional to the closure size.
     */
-  def ancestorClosure(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def ancestorClosure(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    ancestorClosureCounted(edges, maxIter)._1
+
+  /** [[ancestorClosure]] plus the closure's exact row count — callers that
+    * immediately join against the closure (transitiveReduction) use the
+    * count for the adaptive broadcast decision without a second job. */
+  private[graft] def ancestorClosureCounted(
+      edges: DataFrame, maxIter: Int = 64): (DataFrame, Long) = {
     // localCheckpoint (not just persist): the frontier unions below mix this
     // seed with checkpointed RDD-backed plans; leaving a LocalRelation-
     // shaped child under the Union trips constraint rewriting
     // (AttributeMap key-not-found) when the input is a driver-built table
     val e = edges.select(col("src").as("node"), col("dst").as("anc")).distinct()
       .localCheckpoint(true)
+    val eCount = e.count()
     var closure = e
+    var closureCount = eCount
     var frontier = e
+    var frontierCount = eCount
     var i = 0
     var done = false
+    // one full expansion of `frontier` against `e`, minus what `closure`
+    // already holds — the loop step AND the post-maxIter emptiness probe
+    def step(): DataFrame = frontier.as("f")
+      .join(hinted(e, eCount).as("e2"), col("f.anc") === col("e2.node"))
+      .select(col("f.node").as("node"), col("e2.anc").as("anc"))
+      .distinct()
+      // distinct hash-partitions by (node, anc); the anti-join below needs
+      // the same keys, so when the closure side is hinted the step is ONE
+      // exchange, and un-hinted the left side's exchange is still reused
+      .join(hinted(closure, closureCount), Seq("node", "anc"), "left_anti")
+      .localCheckpoint(true)
     while (i < maxIter && !done) {
-      // extend the frontier one hop upward; eager localCheckpoint first so
-      // the convergence probe is metadata-cheap instead of a second job
-      val next = frontier.as("f")
-        .join(e.as("e2"), col("f.anc") === col("e2.node"))
-        .select(col("f.node").as("node"), col("e2.anc").as("anc"))
-        .distinct()
-        .join(closure, Seq("node", "anc"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      val next = step()
+      frontierCount = next.count()
+      if (frontierCount == 0) done = true
       else {
         closure = closure.union(next).localCheckpoint(true)
+        closureCount += frontierCount
         frontier = next
       }
       i += 1
     }
+    // a fixpoint that completes EXACTLY at maxIter leaves done=false (the
+    // emptiness of the next frontier is only learned one iteration later),
+    // so probe once more before declaring divergence
+    if (!done) done = step().isEmpty
     // no-silent-caps: a >maxIter-deep graph would otherwise return a
     // truncated closure and every downstream op (TR, LCA, reduceSubset,
     // search spaces) would be silently wrong on the deep tail
     require(done, s"ancestorClosure did not converge in $maxIter iterations " +
       "(graph deeper than maxIter) — raise maxIter")
-    closure
+    (closure, closureCount)
   }
 
   /** Leaves = nodes never appearing as a parent (empty-input LCA,
@@ -79,32 +127,46 @@ object GraphOps {
     nodes.join(edges.select(col("src").as("__c")), col("id") === col("__c"), "left_anti")
 
   /** Per-node min distance from any root — distributed `annotate_levels`
-    * (G13/G15, taxonomy.py:460-517): level-synchronous min propagation. */
+    * (G13/G15, taxonomy.py:460-517). Level-synchronous BFS: the frontier at
+    * iteration k holds EXACTLY the nodes whose min depth is k (a node is
+    * discovered the first time any parent enters the frontier, and every
+    * frontier node's depth is the iteration index), so "keep only
+    * improvements" reduces to an anti-join against the visited set — no
+    * per-iteration min-aggregation or depth comparison join (each iteration
+    * is one distinct + one anti-join, both on the frontier, not the level
+    * table). */
   def depths(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val eCount = e.count()
     var level = roots(nodes, edges).select(col("id"), lit(0).as("depth"))
       .localCheckpoint(true)
+    var levelCount = level.count()
     var frontier = level
     var i = 0
     var done = false
+    // children of the frontier not yet visited (= exactly the nodes whose
+    // min depth is i+1); also the post-maxIter emptiness probe
+    def step(depth: Int): DataFrame = frontier.as("f")
+      .join(hinted(e, eCount).as("e2"), col("f.id") === col("e2.dst"))
+      .select(col("e2.src").as("id"))
+      .distinct()
+      .join(hinted(level.select(col("id")), levelCount), Seq("id"), "left_anti")
+      .select(col("id"), lit(depth).as("depth"))
+      .localCheckpoint(true)
     while (i < maxIter && !done) {
-      val next = frontier.as("f")
-        .join(e.as("e2"), col("f.id") === col("e2.dst"))
-        .select(col("e2.src").as("id"), (col("f.depth") + 1).as("depth"))
-        .groupBy(col("id")).agg(min("depth").as("depth"))
-        // keep only improvements (new node or smaller depth)
-        .join(level.withColumnRenamed("depth", "old"), Seq("id"), "left")
-        .filter(col("old").isNull || col("depth") < col("old"))
-        .select(col("id"), col("depth"))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      val next = step(i + 1)
+      val n = next.count()
+      if (n == 0) done = true
       else {
-        level = level.join(next.select(col("id")), Seq("id"), "left_anti")
-          .union(next).localCheckpoint(true)
+        // next is disjoint from level BY CONSTRUCTION (the anti-join), so
+        // the union needs no dedup pass
+        level = level.union(next).localCheckpoint(true)
+        levelCount += n
         frontier = next
       }
       i += 1
     }
+    if (!done) done = step(i + 1).isEmpty // fixpoint exactly at maxIter
     require(done, s"depths did not converge in $maxIter iterations " +
       "(graph deeper than maxIter) — raise maxIter")
     level
@@ -114,13 +176,14 @@ object GraphOps {
     * (u,v) is redundant iff a path u→…→v of length ≥ 2 exists, i.e. some
     * other parent p of u reaches v through the closure. */
   def transitiveReduction(edges: DataFrame): DataFrame = {
-    val closure = ancestorClosure(edges)
+    val (closure, closureCount) = ancestorClosureCounted(edges)
     // 2+hop reachability: first hop through a parent, then closure-or-self
     val viaParent = edges.as("e1")
       .join(edges.as("e2"), col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
       .select(col("e1.src").as("src"), col("e1.dst").as("dst"), col("e2.dst").as("mid"))
     val redundant = viaParent
-      .join(closure, viaParent("mid") === closure("node") && viaParent("dst") === closure("anc"),
+      .join(hinted(closure, closureCount),
+        viaParent("mid") === closure("node") && viaParent("dst") === closure("anc"),
         "left_semi")
       .select(col("src"), col("dst")).distinct()
     edges.join(redundant, Seq("src", "dst"), "left_anti")
@@ -161,7 +224,7 @@ object GraphOps {
     val closureSelf = closure
       .union(q.select(col("id").as("node"), col("id").as("anc")))
     val ca = closureSelf
-      .join(q.select(col("id").as("node")), Seq("node"), "left_semi")
+      .join(hinted(q.select(col("id").as("node")), n0), Seq("node"), "left_semi")
       .groupBy(col("anc")).agg(countDistinct(col("node")).as("covered"))
       .filter(col("covered") === n0)
       .select(col("anc").as("id"))
@@ -229,15 +292,16 @@ object GraphOps {
     var frontier = space
     var i = 0
     var done = false
+    def step(): DataFrame = frontier
+      // don't expand below a base node (reference line 271)
+      .join(baseR, Seq("id"), "left_anti")
+      .join(e, col("id") === col("dst"))
+      .select(col("src").as("id")).distinct()
+      .join(allowed, Seq("id"), "left_semi")
+      .join(space, Seq("id"), "left_anti")
+      .localCheckpoint(true)
     while (i < maxIter && !done) {
-      val next = frontier
-        // don't expand below a base node (reference line 271)
-        .join(baseR, Seq("id"), "left_anti")
-        .join(e, col("id") === col("dst"))
-        .select(col("src").as("id")).distinct()
-        .join(allowed, Seq("id"), "left_semi")
-        .join(space, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      val next = step()
       if (next.isEmpty) done = true
       else {
         space = space.union(next).localCheckpoint(true)
@@ -245,6 +309,7 @@ object GraphOps {
       }
       i += 1
     }
+    if (!done) done = step().isEmpty // fixpoint exactly at maxIter
     require(done, s"insertionSearchSpaceNodes did not converge in $maxIter " +
       "iterations (graph deeper than maxIter) — raise maxIter")
     // `space` is eagerly localCheckpointed every iteration, so by here it
@@ -256,56 +321,130 @@ object GraphOps {
     space
   }
 
+  /** Min-id union-find over an edge array — the driver-regime twin of the
+    * distributed fixpoint below (one implementation, shared with the
+    * pipeline's canonicalize). Returns node → min-id-of-component for every
+    * node whose root differs from itself. */
+  private[graft] def unionFindMinId(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      // path compression: without it, min-id unions build chains whose
+      // depth tracks the pair order (a descending-sorted dup cluster is
+      // a depth-n chain) and the closing find-per-key pass goes O(p²) —
+      // compression keeps every find amortized near-constant and does
+      // not change any root
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).filter { case (a, b) => a != b }.toMap
+  }
+
   /** Connected components over an undirected edge set `(a, b)`: min-label
-    * propagation with a pointer-jumping contraction each round (the
+    * propagation with pointer-jumping contraction each round (the
     * hash-to-min scheme — converges in O(log n) rounds on chains, no
     * GraphFrames/RDD dependency; SURVEY.md §4.3). Returns (node, component)
-    * with component = min node id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .union(pairs.select(col("b").cast("long").as("a"), col("a").cast("long").as("b")))
+    * with component = min node id of the component.
+    *
+    * Regime switch (the pipeline-canonicalize pattern, BENCH §9 round 5:
+    * profiling caught the distributed fixpoint paying ~100 s of job
+    * overhead on a handful of pairs): an edge set whose EXACT measured
+    * count is within `driverPairLimit` is collected (≤ ~16 MB at the 1M
+    * default) and solved with the shared union-find — identical output by
+    * the equivalence test — while larger graphs run the distributed
+    * fixpoint. Pass `driverPairLimit = 0` to force the distributed path
+    * (the pipeline does, after its own dispatch).
+    *
+    * Distributed round structure (each round strictly lowers some label or
+    * the algorithm has converged): one edge-propagation (the only
+    * aggregation shuffle when the label table is broadcast-hinted)
+    * followed by TWO pointer-jumping contractions — comp ←
+    * comp(comp(comp(n))) — which roughly squares the contraction rate per
+    * round versus a single jump for one extra (usually broadcast) join,
+    * halving the round count on long chains. Convergence is detected from
+    * the label sum: labels are NON-INCREASING under both propagation and
+    * jumping, so sum(comp) is strictly monotone decreasing until the
+    * fixpoint and an unchanged sum proves an unchanged labeling — one
+    * cheap aggregation on the already-checkpointed result instead of a
+    * join against the previous round's labels (the sum is exact:
+    * decimal(38,0) cannot overflow at any feasible node count × id
+    * range). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          driverPairLimit: Long = 1000000L): DataFrame =
+    connectedComponentsCounted(pairs, maxIter, driverPairLimit)._1
+
+  /** [[connectedComponents]] plus the exact label-row count (for the
+    * caller's own adaptive broadcast decision). */
+  private def connectedComponentsCounted(pairs: DataFrame, maxIter: Int,
+                                         driverPairLimit: Long): (DataFrame, Long) = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.groupBy(col("a").as("node"))
-      .agg(least(min(col("b")), col("a")).as("comp"))
       .localCheckpoint(true)
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      // propagate the min label across edges
-      val viaEdges = sym.as("e")
-        .join(labels.as("l"), col("e.b") === col("l.node"))
-        .groupBy(col("e.a").as("node")).agg(min(col("l.comp")).as("nbrComp"))
-      val prop = labels.join(viaEdges, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-      // pointer jumping: comp(n) <- comp(comp(n))
-      val jumped = prop.as("p")
-        .join(prop.select(col("node").as("cnode"), col("comp").as("ccomp")).as("q"),
-          col("p.comp") === col("q.cnode"), "left")
-        .select(col("p.node").as("node"),
-          least(col("p.comp"), coalesce(col("q.ccomp"), col("p.comp"))).as("comp"))
+    val nPairs = p.count()
+    if (driverPairLimit > 0 && nPairs <= driverPairLimit) {
+      import spark.implicits._
+      val arr = p.as[(Long, Long)].collect()
+      val roots = unionFindMinId(arr)
+      val out = arr.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+        .map(n => (n, roots.getOrElse(n, n)))
+      (spark.createDataFrame(out.toSeq).toDF("node", "component"), out.length.toLong)
+    } else {
+      val sym = p
+        .union(p.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = sym.groupBy(col("a").as("node"))
+        .agg(least(min(col("b")), col("a")).as("comp"))
         .localCheckpoint(true)
-      val changed = jumped.as("j")
-        .join(labels.as("l"), col("j.node") === col("l.node"))
-        .filter(col("j.comp") =!= col("l.comp"))
-      converged = changed.isEmpty
-      labels = jumped
-      i += 1
+      val nLabels = labels.count()
+      def labelSum(df: DataFrame): BigDecimal = {
+        val r = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s")).head()
+        BigDecimal(r.getDecimal(0))
+      }
+      var prevSum = labelSum(labels)
+      var i = 0
+      var converged = false
+      while (i < maxIter && !converged) {
+        // propagate the min label across edges (the round's one aggregation)
+        val viaEdges = sym.as("e")
+          .join(hinted(labels, nLabels).as("l"), col("e.b") === col("l.node"))
+          .groupBy(col("e.a").as("node")).agg(min(col("l.comp")).as("nbrComp"))
+        val prop = labels.join(hinted(viaEdges, nLabels), Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        // pointer jumping: comp(n) <- comp(comp(n)), applied twice per round
+        def jump(d: DataFrame): DataFrame = d.as("p")
+          .join(hinted(d.select(col("node").as("cnode"), col("comp").as("ccomp")), nLabels).as("q"),
+            col("p.comp") === col("q.cnode"), "left")
+          .select(col("p.node").as("node"),
+            least(col("p.comp"), coalesce(col("q.ccomp"), col("p.comp"))).as("comp"))
+        val jumped = jump(jump(prop)).localCheckpoint(true)
+        val s = labelSum(jumped)
+        converged = s == prevSum // monotone: equal sum ⇔ no label moved ⇔ fixpoint
+        prevSum = s
+        labels = jumped
+        i += 1
+      }
+      sym.unpersist()
+      require(converged, s"connectedComponents did not converge in $maxIter " +
+        "pointer-jumping rounds — raise maxIter (silently-partial components " +
+        "would merge wrong canonicalization clusters)")
+      (labels.select(col("node"), col("comp").as("component")), nLabels)
     }
-    sym.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter " +
-      "pointer-jumping rounds — raise maxIter (silently-partial components " +
-      "would merge wrong canonicalization clusters)")
-    labels.select(col("node"), col("comp").as("component"))
   }
 
   /** Components including isolated nodes: every node maps to min(reachable). */
   def componentsWithIsolated(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
+    val (cc, nCc) = connectedComponentsCounted(pairs, 25, 1000000L)
     nodes.select(col("id").cast("long").as("node"))
-      .join(cc, Seq("node"), "left")
+      .join(hinted(cc, nCc), Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 }

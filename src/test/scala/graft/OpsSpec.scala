@@ -52,6 +52,30 @@ class OpsSpec extends SparkSpecBase {
     assert((1025L until n).forall(y => cand.contains((0L, y))))
   }
 
+  test("posting-list verification equals the array plan (rows < 4 geometry)") {
+    import spark.implicits._
+    // rows = 1 (numHashes == bands) routes minhashPairs through the round-6
+    // posting-list exact verify; rows = 8 keeps the array plan. Both must
+    // emit identical FULL rows (inter, uni, jaccard — not just the ids).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely unrelated text about spark engines and planners"),
+      (4L, "the quick brown fox jumps over the lazy dog today indeed"),
+      (5L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    def full(verify: Boolean) = TextOps
+      .minhashPairs(docs, k = 2, numHashes = 64, bands = 64, threshold = 0.3,
+        postingListVerify = Some(verify))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val posting = full(true)  // the round-6 posting-list exact verify
+    val arrays = full(false)  // the array_intersect/array_union plan
+    // SAME candidate geometry, so this isolates the verification rewrite:
+    // identical full rows or the plans have diverged
+    assert(posting == arrays, s"posting=$posting arrays=$arrays")
+    assert(posting.exists { case (a, b, _, _, j) => a == 1L && b == 5L && j == 1.0 })
+    assert(posting.exists { case (a, b, _, _, _) => a == 1L && b == 2L }) // sub-1.0 pair verified too
+  }
+
   test("jaccard pairs find near-duplicates and minhash agrees") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

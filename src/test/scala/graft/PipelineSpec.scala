@@ -381,10 +381,30 @@ class PipelineSpec extends SparkSpecBase {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 14L), (14L, 11L),
       (100L, 50L), (50L, 60L), (60L, 100L), (8L, 8L))
-    val dist = graft.spark.GraphOps.connectedComponents(pairs.toDF("a", "b"))
+    // driverPairLimit = 0 forces the DISTRIBUTED fixpoint: with the round-6
+    // regime switch the default path would union-find on the driver and
+    // this test would compare union-find to itself
+    val dist = graft.spark.GraphOps.connectedComponents(pairs.toDF("a", "b"),
+        driverPairLimit = 0L)
       .filter(col("node") =!= col("component"))
       .as[(Long, Long)].collect().toMap
     assert(KgPipeline.unionFindMinId(pairs.toArray) == dist)
+  }
+
+  test("connectedComponents driver regime equals the distributed fixpoint") {
+    import spark.implicits._
+    // chains (the pointer-jumping worst case), a cycle, a self-loop, and
+    // isolated-from-each-other cliques — compare FULL (node, component)
+    // row sets across both regimes, not just the non-root entries
+    val pairs = (1L to 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 103L), (103L, 101L), (101L, 100L), (7L, 7L), (200L, 250L))
+    val df = pairs.toDF("a", "b")
+    val viaDriver = graft.spark.GraphOps.connectedComponents(df)
+      .as[(Long, Long)].collect().toSet
+    val viaFixpoint = graft.spark.GraphOps.connectedComponents(df, driverPairLimit = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(viaDriver == viaFixpoint)
+    assert(viaDriver.nonEmpty)
   }
 
   test("unionFindMinId stays linear on adversarial chain-ordered pairs") {
