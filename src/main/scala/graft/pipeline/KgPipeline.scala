@@ -1138,26 +1138,46 @@ object KgPipeline {
         def writeAdaptive(df: DataFrame, n: Long, path: String): Unit =
           (if (n <= 100000) df.coalesce(1) else df)
             .write.mode(SaveMode.Overwrite).parquet(path)
-        writeAdaptive(
+        // the round's checkpoint tables are INDEPENDENT writes gated by one
+        // COMMIT marker written last — so submit them from a driver thread
+        // pool and await all before the marker (optimization guide §2.6:
+        // actions are only sequential because the driver calls them
+        // sequentially). Serially, the 6+ small writes were the measured
+        // bulk of the checkpoint phase (job-launch + committer latency per
+        // write, ~0.3 s each at round-sized deltas); atomicity is unchanged
+        // because a failure in ANY write propagates out of the awaits and
+        // the marker is never written.
+        val ckptPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ckptEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(ckptPool)
+        def bg(f: => Unit): scala.concurrent.Future[Unit] = scala.concurrent.Future(f)
+        val pendingWrites = mutable.ArrayBuffer.empty[scala.concurrent.Future[Unit]]
+        def awaitWrites(): Unit =
+          try pendingWrites.foreach(f =>
+            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+          finally { pendingWrites.clear() }
+        pendingWrites += bg(writeAdaptive(
           nodeAdds.zipWithIndex.map { case ((l, id), k) => (k.toLong, id, l) }
             .toDF("seq", "id", "label"),
-          nodeAdds.size, s"$rd/nodes_delta")
-        writeAdaptive(
+          nodeAdds.size, s"$rd/nodes_delta"))
+        pendingWrites += bg(writeAdaptive(
           edgeAdds.zipWithIndex.map { case ((u, v, l), k) => (k.toLong, u, v, l) }
             .toDF("seq", "src", "dst", "label"),
-          edgeAdds.size, s"$rd/edges_delta")
+          edgeAdds.size, s"$rd/edges_delta"))
         val compact = cfg.compactEvery > 0 && r % cfg.compactEvery == 0
         if (compact) {
           // compaction: partitioned full-snapshot write (the old per-round
           // coalesce(1) rewrite was a single-task serial term at 2M nodes),
           // seq-stamped in insertion order like the deltas
           val nParts = math.max(1, taxo.numberOfNodes / 500000)
-          taxo.nodes.zipWithIndex.map { case (n, k) => (k.toLong, n, taxo.getLabel(n)) }
-            .toDF("seq", "id", "label")
-            .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes")
-          taxo.edges.zipWithIndex.map { case ((u, v, l), k) => (k.toLong, u, v, l) }
-            .toDF("seq", "src", "dst", "label")
-            .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges")
+          pendingWrites += bg(
+            taxo.nodes.zipWithIndex.map { case (n, k) => (k.toLong, n, taxo.getLabel(n)) }
+              .toDF("seq", "id", "label")
+              .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/nodes"))
+          pendingWrites += bg(
+            taxo.edges.zipWithIndex.map { case ((u, v, l), k) => (k.toLong, u, v, l) }
+              .toDF("seq", "src", "dst", "label")
+              .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(s"$rd/edges"))
         }
         // scored-pairs store: fresh pairs only per round. decide exports
         // ONLY pairs it scored this round (ScoreCache.exportFresh — pairs
@@ -1169,14 +1189,11 @@ object KgPipeline {
         // checkpoint wall.)
         val freshPairs = result.scored
         if (compact) {
-          scoredStore.union(freshPairs)
-            .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs")
-          result.release()
-          scoredStore = spark.read.parquet(s"$rd/scored_pairs")
+          pendingWrites += bg(scoredStore.union(freshPairs)
+            .write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs"))
         } else {
-          freshPairs.write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs_delta")
-          result.release()
-          scoredStore = scoredStore.union(spark.read.parquet(s"$rd/scored_pairs_delta"))
+          pendingWrites += bg(
+            freshPairs.write.mode(SaveMode.Overwrite).parquet(s"$rd/scored_pairs_delta"))
         }
         // embedding store (at-scale decide path): this round's merge
         // SURVIVORS are the per-round delta; a full store snapshot is
@@ -1186,26 +1203,37 @@ object KgPipeline {
         if (embStore != null) {
           val survivors = canonRes.survivorVecs.select(col("vec_id"), col("embedding"))
           if (embFullWrite || compact) {
-            val prev = embStore
-            embStore.union(survivors).write.mode(SaveMode.Overwrite).parquet(s"$rd/embeddings")
-            canonRes.release()
-            prev.unpersist()
-            embStore = spark.read.parquet(s"$rd/embeddings")
+            pendingWrites += bg(embStore.union(survivors)
+              .write.mode(SaveMode.Overwrite).parquet(s"$rd/embeddings"))
           } else {
-            writeAdaptive(survivors, nodeAdds.size, s"$rd/emb_delta")
-            canonRes.release()
-            embStore = embStore.union(spark.read.parquet(s"$rd/emb_delta"))
+            pendingWrites += bg(writeAdaptive(survivors, nodeAdds.size, s"$rd/emb_delta"))
           }
-        } else canonRes.release()
-        (result.lineage ++ canonRes.lineage).toDF()
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage")
+        }
+        pendingWrites += bg((result.lineage ++ canonRes.lineage).toDF()
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$rd/lineage"))
         // cumulative provenance (bounded by inserted edges — adaptive too:
         // at the §9b drive it reaches 2M rows): lets a resumed run
         // reconstruct src_round exactly
-        writeAdaptive(allDeltas.toSeq.toDF("src", "dst", "label", "round"),
-          allDeltas.size, s"$rd/deltas")
-        writeAdaptive(sameAs.toSeq.toDF("a", "b", "round"),
-          sameAs.size, s"$rd/sameas")
+        pendingWrites += bg(writeAdaptive(allDeltas.toSeq.toDF("src", "dst", "label", "round"),
+          allDeltas.size, s"$rd/deltas"))
+        pendingWrites += bg(writeAdaptive(sameAs.toSeq.toDF("a", "b", "round"),
+          sameAs.size, s"$rd/sameas"))
+        // barrier: every table durable before any state swap or the marker
+        try awaitWrites() finally ckptPool.shutdown()
+        // post-write state swaps + cache releases (read-back depends on the
+        // completed writes; release order matches the old serial flow)
+        result.release()
+        scoredStore =
+          if (compact) spark.read.parquet(s"$rd/scored_pairs")
+          else scoredStore.union(spark.read.parquet(s"$rd/scored_pairs_delta"))
+        if (embStore != null) {
+          val prev = embStore
+          canonRes.release()
+          if (embFullWrite || compact) {
+            prev.unpersist()
+            embStore = spark.read.parquet(s"$rd/embeddings")
+          } else embStore = embStore.union(spark.read.parquet(s"$rd/emb_delta"))
+        } else canonRes.release()
         // the decide index's RHP center (dim doubles) — resumed banded
         // probes must hash into the same buckets as the original run's
         for (c <- embCache.currentCenter)

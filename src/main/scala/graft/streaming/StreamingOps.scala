@@ -17,6 +17,34 @@ object StreamingOps {
     * one constant shared by every signature that defaults it. */
   val DefaultTombstoneTtlMicros: Long = 30L * 24 * 3600 * 1000000L
 
+  /** Parent dir for the MEMORY-sink twins' checkpoints, removed on JVM
+    * exit. The memory sink is itself non-durable (these twins are the test
+    * harness; the production `*ToParquet` variants take a caller-owned
+    * checkpointLocation), so its state-store/WAL traffic — the per-batch
+    * per-partition delta files and offset commits that dominate small-batch
+    * latency — belongs on the fastest EPHEMERAL storage available: tmpfs
+    * when present, the JVM temp dir otherwise (guide §6: I/O layout; no
+    * durability contract changes because none existed). */
+  private lazy val ephemeralCkptBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(base, "graft-stream-ck")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }))
+    dir
+  }
+
+  private def ephemeralCheckpoint(): String =
+    java.nio.file.Files.createTempDirectory(ephemeralCkptBase, "q").toString
+
   /** Streaming mention counts over an arriving webtext directory: same
     * bigram extraction as KgPipeline.extractMentions, windowed by ingest
     * time with a watermark. Complete-output top mentions land in an
@@ -28,6 +56,7 @@ object StreamingOps {
       .groupBy("mention").count()
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
   }
@@ -48,6 +77,7 @@ object StreamingOps {
     mentionsAppendPlan(spark, docsDir, docsSchema, sentinelDir, sentinelSchema)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
 
@@ -226,6 +256,7 @@ object StreamingOps {
     sessionsPlan(spark, inputDir, schema, gapMinutes)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
 
@@ -263,6 +294,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ephemeralCheckpoint())
       .trigger(Trigger.AvailableNow())
       .start()
   }
