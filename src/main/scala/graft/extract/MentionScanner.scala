@@ -23,7 +23,15 @@ object MentionScanner {
     * token where the column form splits ["i","stanbul"]. Context-sensitive
     * mappings (final sigma) differ from this per-char form only in chars
     * that are token separators either way, so token streams still match.
-    * ASCII never reaches here (the sinks' fast path). */
+    * ASCII never reaches here (the sinks' fast path).
+    * LOCALE CAVEAT (ADVICE r5): this path pins Locale.ROOT, but the column
+    * twin (`lower(text)` → String.toLowerCase) uses the JVM DEFAULT locale
+    * on non-ASCII strings — under e.g. a Turkish default locale the column
+    * form maps 'I'→'ı' in mixed-ASCII/non-ASCII documents while this
+    * scanner's ASCII fast path maps 'I'→'i', breaking the claimed
+    * token-stream parity. Entry points that compare the two paths must pin
+    * the JVM default locale to ROOT (Bench does via Locale.setDefault; do
+    * the same in any new harness). */
   private[extract] def loweredNonAscii(c0: Char): String =
     String.valueOf(c0).toLowerCase(java.util.Locale.ROOT)
 

@@ -1022,6 +1022,16 @@ object KgPipeline {
       // ≥ maxCandidatesPerRound persistent eqv mentions the pipeline stops
       // admitting new mentions entirely). sameAs is checkpoint-replayed,
       // so the exclusion set is identical on resume.
+      // ACCEPTED DIVERGENCE (ADVICE r5): the exclusion is permanent for the
+      // run — the 'identical outcome every round' argument is exact only
+      // while the decided mention's canonical node is unchanged; a LATER
+      // merge/move of that node could make re-deciding yield a different
+      // (also-correct) placement that stays unreachable. Re-opening decided
+      // mentions on taxonomy mutation would make candidate admission
+      // non-monotone (unbounded re-decide churn at scale); the sequential
+      // reference has the same property (icon.py processes each mention
+      // once), so the divergence is from a hypothetical oracle, not from
+      // the reference semantics.
       // limit() would collapse downstream parallelism to one task, so the
       // candidate batch is re-spread by mention hash before the decide stage
       val resolvedHashes = sameAs.iterator.map(s => Tokenset.hash64(s._1)).toSet

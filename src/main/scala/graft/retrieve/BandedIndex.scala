@@ -140,6 +140,13 @@ object BandedIndex {
     * the signature function shared by index build, query probe, and the
     * cross-round signature cache. */
   def signature(v: Array[Float], center: Array[Double], dim: Int): (Long, Long) = {
+    // same width fail-fast as the column kernel (RhpSigExpr): a vector
+    // wider than the plane table would silently lose all mass above `dim`
+    // from its signature — the twins must surface mixed-width inputs
+    // identically, not diverge (ADVICE r5)
+    require(v.length <= dim,
+      s"vector is ${v.length}-dim but the plane table is $dim-dim — " +
+        "signatures would silently ignore every dimension above the table width")
     val pl = planes(dim)
     val x = new Array[Double](dim)
     var i = 0

@@ -180,4 +180,19 @@ class RetrieveSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("width 64"))
   }
+
+  test("BandedIndex.signature fails fast on vectors wider than the plane table") {
+    // ADVICE r5: the column kernel (RhpSigExpr) fails fast on wide rows;
+    // the driver twin silently truncated — they must surface mixed-width
+    // inputs identically
+    val e = intercept[IllegalArgumentException] {
+      graft.retrieve.BandedIndex.signature(
+        Array.fill(128)(1.0f), Array.fill(64)(0.0), 64)
+    }
+    assert(e.getMessage.contains("128-dim"))
+    // narrow vectors keep the documented missing-dim-reads-as-center rule
+    val (w0, w1) = graft.retrieve.BandedIndex.signature(
+      Array.fill(32)(1.0f), Array.fill(64)(0.0), 64)
+    assert(w0 != 0L || w1 != 0L)
+  }
 }
