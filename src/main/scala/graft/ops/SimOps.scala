@@ -201,7 +201,10 @@ object SimOps {
     require(bits % bands == 0)
     requireWidth(df, dim)
     val b = banded(df, bits, bands, dimMeans(df, dim), dim)
-    val cand = b.as("x").join(b.as("y"),
+    // SHUFFLE_HASH (guide §3.1): banded rows are 16-byte (vec_id, bucket)
+    // pairs — per-partition hash build is compact and skips the two full
+    // sorts a sort-merge join pays on the exploded table
+    val cand = b.as("x").hint("SHUFFLE_HASH").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

@@ -140,10 +140,23 @@ object TextOps {
     // the `sh` hash partitioning, so the exploded table is shuffled ONCE;
     // pairs are generated by exploding within each posting list — quadratic
     // only inside a list, bounded by maxShingleFreq (the skew guard).
-    val freq = st.groupBy("sh").agg(count("*").as("df_freq"))
-      .filter(col("df_freq").between(2, maxShingleFreq))
-    val posting = st.join(freq, "sh")
-      .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
+    // When the guard is pinned OFF (Int.MaxValue — the exact-ground-truth
+    // mode, q13's oracle config) the pre-count prunes nothing and the old
+    // count+join pass built the IDENTICAL full posting lists anyway, so it
+    // was a pure extra aggregation round: aggregate the lists directly and
+    // apply both bounds to the list length (size >= 2 ⇔ df >= 2). With a
+    // finite guard the pre-count stays — it is what keeps an over-cap
+    // shingle's list from ever being materialized.
+    val posting =
+      if (maxShingleFreq == Int.MaxValue)
+        st.groupBy("sh").agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+      else {
+        val freq = st.groupBy("sh").agg(count("*").as("df_freq"))
+          .filter(col("df_freq").between(2, maxShingleFreq))
+        st.join(freq, "sh")
+          .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
+      }
     val inter = posting
       .select(explode(col("ps")).as("x"), col("ps"))
       .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
