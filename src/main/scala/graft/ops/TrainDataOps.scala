@@ -60,8 +60,12 @@ object TrainDataOps {
       .select(col("id").as("cand"), col("label").as("candLabel"))
       .orderBy(col("cand")).limit(maxNegativePool)
     val closureR = closure.select(col("node").as("__cn"), col("anc").as("__ca"))
-    val nonAnc = nodes.select(col("id").as("node"), col("label").as("subclass"))
-      .crossJoin(broadcast(uppers)) // pool is bounded ⇒ broadcast-nested-loop, never a shuffle
+    // project early (guide §2.3): only (node, cand) id pairs flow through
+    // the node×pool product, the closure anti-join, and the window shuffle
+    // — the label strings rejoin AFTER the rn = 1 filter collapses the
+    // product back to one row per node
+    val nonAnc = nodes.select(col("id").as("node"))
+      .crossJoin(broadcast(uppers.select(col("cand")))) // bounded pool ⇒ broadcast-nested-loop, never a shuffle
       // adaptive broadcast of the closure (exact count from the fixpoint):
       // the RDD-backed closure otherwise size-estimates huge and this
       // anti-join shuffles the full node×pool product
@@ -72,6 +76,8 @@ object TrainDataOps {
       .orderBy(TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).asc,
         col("cand").asc)
     val negatives = nonAnc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(nodes.select(col("id").as("node"), col("label").as("subclass")), Seq("node"))
+      .join(broadcast(uppers), Seq("cand"))
       .select(col("subclass"), col("candLabel").as("superclass"), lit(0L).as("labels"),
         col("node"), col("cand").as("anc"))
     positives.union(negatives)
