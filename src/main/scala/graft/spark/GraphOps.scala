@@ -54,20 +54,95 @@ object GraphOps {
   private[graft] def hinted(df: DataFrame, exactRows: Long): DataFrame =
     if (exactRows <= broadcastRowLimit(df)) broadcast(df) else df
 
+  /** Driver-regime edge bound for the closure/depth/TR fixpoints (the
+    * connectedComponents pattern): an edge table whose EXACT measured count
+    * is within this limit is collected (≤ ~16 MB at the 1M default) and the
+    * graph op runs as a local worklist algorithm — identical output,
+    * equivalence-tested — while larger graphs run the distributed fixpoint.
+    * Override per session with `graft.graphDriverEdgeLimit` (0 disables the
+    * driver regime). */
+  private def graphDriverEdgeLimit(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graphDriverEdgeLimit", "1000000").toLong
+
+  /** The closure's ROW count is not bounded by the edge count (a 1M-edge
+    * deep DAG can close to billions of pairs), so the local closure attempt
+    * aborts past this many pairs and falls back to the distributed fixpoint
+    * — the wasted local work is bounded by the cap. ~8M (long, long) pairs
+    * is ~128 MB of driver arrays. `graft.graphDriverClosureLimit`. */
+  private def graphDriverClosureLimit(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graphDriverClosureLimit", "8000000").toLong
+
+  private def isLongLong(df: DataFrame): Boolean =
+    df.schema.fields.length >= 2 &&
+      df.schema.fields.take(2).forall(_.dataType == org.apache.spark.sql.types.LongType)
+
+  /** Materialize a driver-computed pair list: a LocalRelation for small
+    * results, an RDD partitioned every ~500k rows beyond (a multi-million-
+    * row LocalRelation would serialize whole into every plan using it). */
+  private def localPairsDF(spark: SparkSession, rows: Array[(Long, Long)],
+                           c1: String, c2: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (rows.length <= 100000) spark.createDataFrame(rows.toSeq).toDF(c1, c2)
+    else spark.sparkContext
+      .parallelize(rows.toSeq, math.max(1, rows.length / 500000)).toDF(c1, c2)
+  }
+
+  /** Local upward-reachability closure over a collected edge list: for each
+    * node, BFS over the parent adjacency — EXACTLY the distributed
+    * fixpoint's semantics, including self-pairs reachable through cycles
+    * (seed (a,b),(b,a) closes to (a,a)). Returns None past `cap` pairs. */
+  private def localClosure(edgeArr: Array[(Long, Long)],
+                           cap: Long): Option[Array[(Long, Long)]] = {
+    val parents = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    edgeArr.foreach { case (s, d) =>
+      parents.computeIfAbsent(s, _ => new java.util.ArrayList[Long]()).add(d)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val seen = new java.util.HashSet[Long]()
+    val stack = new java.util.ArrayDeque[Long]()
+    val it = parents.keySet().iterator()
+    while (it.hasNext) {
+      val n = it.next()
+      seen.clear(); stack.clear()
+      stack.push(n)
+      while (!stack.isEmpty) {
+        val cur = stack.pop()
+        val ps = parents.get(cur)
+        if (ps != null) {
+          var i = 0
+          while (i < ps.size()) {
+            val p = ps.get(i)
+            if (seen.add(p)) {
+              out += ((n, p))
+              if (out.length > cap) return None
+              stack.push(p)
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    Some(out.toArray)
+  }
+
   /** Transitive closure pairs (node, ancestor), excluding self-pairs —
     * distributed `get_ancestors` (G5, taxonomy.py:167-189). Iterative
     * frontier expansion: O(depth) shuffles, each a join on the frontier
     * (small) against the edge table — not closure×closure squaring, so the
-    * shuffle volume stays proportional to the closure size.
+    * shuffle volume stays proportional to the closure size. Edge tables
+    * within [[graphDriverEdgeLimit]] run the local worklist twin instead
+    * (regime switch; pass `driverEdgeLimit = 0` to force distributed).
     */
-  def ancestorClosure(edges: DataFrame, maxIter: Int = 64): DataFrame =
-    ancestorClosureCounted(edges, maxIter)._1
+  def ancestorClosure(edges: DataFrame, maxIter: Int = 64,
+                      driverEdgeLimit: Long = -1L): DataFrame =
+    ancestorClosureCounted(edges, maxIter, driverEdgeLimit)._1
 
   /** [[ancestorClosure]] plus the closure's exact row count — callers that
     * immediately join against the closure (transitiveReduction) use the
     * count for the adaptive broadcast decision without a second job. */
   private[graft] def ancestorClosureCounted(
-      edges: DataFrame, maxIter: Int = 64): (DataFrame, Long) = {
+      edges: DataFrame, maxIter: Int = 64,
+      driverEdgeLimit: Long = -1L): (DataFrame, Long) = {
     // localCheckpoint (not just persist): the frontier unions below mix this
     // seed with checkpointed RDD-backed plans; leaving a LocalRelation-
     // shaped child under the Union trips constraint rewriting
@@ -75,6 +150,17 @@ object GraphOps {
     val e = edges.select(col("src").as("node"), col("dst").as("anc")).distinct()
       .localCheckpoint(true)
     val eCount = e.count()
+    val edgeLimit =
+      if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
+    if (edgeLimit > 0 && eCount <= edgeLimit && isLongLong(e)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      localClosure(e.as[(Long, Long)].collect(), graphDriverClosureLimit(edges)) match {
+        case Some(pairs) =>
+          return (localPairsDF(spark, pairs, "node", "anc"), pairs.length.toLong)
+        case None => () // closure larger than the driver cap: fall through
+      }
+    }
     var closure = e
     var closureCount = eCount
     var frontier = e
@@ -135,9 +221,68 @@ object GraphOps {
     * per-iteration min-aggregation or depth comparison join (each iteration
     * is one distinct + one anti-join, both on the frontier, not the level
     * table). */
-  def depths(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def depths(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64,
+             driverEdgeLimit: Long = -1L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val eCount = e.count()
+    val edgeLimit =
+      if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
+    if (edgeLimit > 0 && eCount <= edgeLimit && isLongLong(e) &&
+        nodes.schema.fields.exists(f => f.name == "id" &&
+          f.dataType == org.apache.spark.sql.types.LongType)) {
+      // driver regime: multi-source BFS from the root set over the collected
+      // edge list — identical rows to the distributed fixpoint (roots emit
+      // one row PER NODE-TABLE OCCURRENCE like roots(), discovered non-roots
+      // one row per id like the distinct'd frontier), distinct edges only
+      // (the fixpoint's e is distinct'd too). Node table collected under the
+      // same cap via limit(cap+1): an over-cap node list falls back.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val cap = math.min(edgeLimit, Int.MaxValue - 2L).toInt
+      val nodeArr = nodes.select(col("id")).limit(cap + 1).as[Long].collect()
+      if (nodeArr.length <= cap) {
+        val edgeArr = e.as[(Long, Long)].collect()
+        val children = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        val isChild = new java.util.HashSet[Long]()
+        edgeArr.foreach { case (s, d) =>
+          children.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
+          isChild.add(s)
+        }
+        val depthOf = new java.util.HashMap[Long, Int]()
+        var frontier = nodeArr.iterator.filter(!isChild.contains(_)).toArray.distinct
+        frontier.foreach(depthOf.put(_, 0))
+        var d = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        // root rows per node-table occurrence (duplicate node rows stay
+        // duplicated, exactly as roots() would emit them)
+        nodeArr.foreach(n => if (!isChild.contains(n)) out += ((n, 0)))
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { p =>
+            val cs = children.get(p)
+            if (cs != null) {
+              var i = 0
+              while (i < cs.size()) {
+                val c = cs.get(i)
+                if (!depthOf.containsKey(c)) {
+                  depthOf.put(c, d); next += c; out += ((c, d))
+                }
+                i += 1
+              }
+            }
+          }
+          frontier = next.toArray
+        }
+        return {
+          if (out.length <= 100000)
+            spark.createDataFrame(out.toSeq).toDF("id", "depth")
+          else spark.sparkContext
+            .parallelize(out.toSeq, math.max(1, out.length / 500000))
+            .toDF("id", "depth")
+        }
+      }
+    }
     var level = roots(nodes, edges).select(col("id"), lit(0).as("depth"))
       .localCheckpoint(true)
     var levelCount = level.count()
@@ -175,7 +320,54 @@ object GraphOps {
   /** Distributed transitive reduction (G18, taxonomy.py:620-629): an edge
     * (u,v) is redundant iff a path u→…→v of length ≥ 2 exists, i.e. some
     * other parent p of u reaches v through the closure. */
-  def transitiveReduction(edges: DataFrame): DataFrame = {
+  def transitiveReduction(edges: DataFrame, driverEdgeLimit: Long = -1L): DataFrame = {
+    val edgeLimit =
+      if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
+    // driver regime (the closure/CC pattern): collect the raw edge rows
+    // under the cap (limit(cap+1) detects overflow in one job), close
+    // locally, and filter redundant edges on the driver — an edge (u,v) is
+    // redundant iff some OTHER parent p of u reaches v through the closure,
+    // byte-identical to the distributed semi-join below. Only for bare
+    // (src, dst) long tables: extra columns or other types keep the
+    // distributed plan (whose anti-join preserves them).
+    if (edgeLimit > 0 && edges.columns.sameElements(Array("src", "dst")) &&
+        isLongLong(edges)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val cap = math.min(edgeLimit, Int.MaxValue - 2L).toInt
+      val raw = edges.limit(cap + 1).as[(Long, Long)].collect()
+      if (raw.length <= cap) {
+        localClosure(raw.distinct, graphDriverClosureLimit(edges)) match {
+          case Some(pairs) =>
+            val anc = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+            pairs.foreach { case (n, a) =>
+              anc.computeIfAbsent(n, _ => new java.util.HashSet[Long]()).add(a)
+            }
+            val parents = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+            raw.distinct.foreach { case (s, d) =>
+              parents.computeIfAbsent(s, _ => new java.util.ArrayList[Long]()).add(d)
+            }
+            def redundant(u: Long, v: Long): Boolean = {
+              val ps = parents.get(u)
+              var i = 0
+              while (i < ps.size()) {
+                val p = ps.get(i)
+                if (p != v) {
+                  val s = anc.get(p)
+                  if (s != null && s.contains(v)) return true
+                }
+                i += 1
+              }
+              false
+            }
+            // filter the RAW rows: duplicates and row order survive exactly
+            // as the distributed left_anti keeps them
+            return localPairsDF(spark,
+              raw.filter { case (u, v) => !redundant(u, v) }, "src", "dst")
+          case None => () // closure over the cap: distributed path below
+        }
+      }
+    }
     val (closure, closureCount) = ancestorClosureCounted(edges)
     // 2+hop reachability: first hop through a parent, then closure-or-self
     val viaParent = edges.as("e1")

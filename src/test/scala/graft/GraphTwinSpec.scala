@@ -30,19 +30,49 @@ class GraphTwinSpec extends SparkSpecBase {
 
   test("fixpoints fail fast instead of returning a silently-truncated result") {
     // a 5-node chain needs 4 closure hops; maxIter=2 must throw, not hand
-    // back a partial closure that downstream TR/LCA would silently misuse
+    // back a partial closure that downstream TR/LCA would silently misuse.
+    // driverEdgeLimit = 0 forces the DISTRIBUTED fixpoint — the round-6
+    // driver regime would otherwise solve a 4-edge chain locally and the
+    // maxIter guard under test would never run
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     val e1 = intercept[IllegalArgumentException] {
-      GraphOps.ancestorClosure(chain, maxIter = 2).count()
+      GraphOps.ancestorClosure(chain, maxIter = 2, driverEdgeLimit = 0L).count()
     }
     assert(e1.getMessage.contains("did not converge"))
     val chainNodes = (1L to 5L).map(n => (n, s"n$n")).toDF("id", "label")
     val e2 = intercept[IllegalArgumentException] {
-      GraphOps.depths(chainNodes, chain, maxIter = 2).count()
+      GraphOps.depths(chainNodes, chain, maxIter = 2, driverEdgeLimit = 0L).count()
     }
     assert(e2.getMessage.contains("did not converge"))
-    // convergent inputs are unaffected
+    // convergent inputs are unaffected (both regimes)
     assert(GraphOps.ancestorClosure(chain).count() == 4 + 3 + 2 + 1)
+    assert(GraphOps.ancestorClosure(chain, driverEdgeLimit = 0L).count() == 4 + 3 + 2 + 1)
+    // a fixpoint completing EXACTLY at maxIter converges (the post-loop
+    // probe — ADVICE r5): 4 productive hops at maxIter = 4
+    assert(GraphOps.ancestorClosure(chain, maxIter = 4, driverEdgeLimit = 0L)
+      .count() == 4 + 3 + 2 + 1)
+  }
+
+  test("driver-regime closure/depths/TR equal the forced-distributed fixpoints") {
+    // skip edges (TR work), a diamond (multi-parent min depth), duplicate
+    // edge rows (TR preserves them), and — for the closure only — a cycle
+    // (self-pairs via reachability)
+    val dag = Seq((10L, 1L), (11L, 1L), (12L, 10L), (12L, 11L), (12L, 1L),
+      (13L, 12L), (13L, 1L), (13L, 12L)).toDF("src", "dst")
+    val nodes = Seq(1L, 10L, 11L, 12L, 13L, 99L).map(n => (n, s"n$n")).toDF("id", "label")
+    def rows(df: DataFrame) = df.as[(Long, Long)].collect().toSeq.sorted
+    assert(rows(GraphOps.ancestorClosure(dag)) ==
+      rows(GraphOps.ancestorClosure(dag, driverEdgeLimit = 0L)))
+    assert(rows(GraphOps.transitiveReduction(dag)) ==
+      rows(GraphOps.transitiveReduction(dag, driverEdgeLimit = 0L)))
+    assert(GraphOps.depths(nodes, dag).as[(Long, Int)].collect().toSeq.sorted ==
+      GraphOps.depths(nodes, dag, driverEdgeLimit = 0L)
+        .as[(Long, Int)].collect().toSeq.sorted)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    assert(rows(GraphOps.ancestorClosure(cyc)) ==
+      rows(GraphOps.ancestorClosure(cyc, driverEdgeLimit = 0L)))
+    // the cycle's members reach themselves: self-pairs present in BOTH
+    assert(rows(GraphOps.ancestorClosure(cyc)).contains((1L, 1L)))
   }
 
   test("distributed reduce_subset equals the driver twin (both directions)") {
