@@ -72,10 +72,18 @@ object TrainDataOps {
       .filter(col("node") =!= col("cand"))
       .join(GraphOps.hinted(closureR, nClosure),
         col("node") === col("__cn") && col("cand") === col("__ca"), "left_anti")
-    val w = Window.partitionBy(col("node"))
-      .orderBy(TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).asc,
-        col("cand").asc)
-    val negatives = nonAnc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // md5-minimal candidate per node (ties by cand asc) as a lexicographic
+    // struct-min aggregation: map-side partial agg collapses the node×pool
+    // product to one row per node BEFORE the exchange, where the previous
+    // row_number window shuffled and SORTED the whole product (guide §2.3:
+    // aggregate before you shuffle). Identical row: min of (md5, cand) is
+    // exactly rank-1 of ORDER BY md5 ASC, cand ASC.
+    val negatives = nonAnc
+      .groupBy(col("node"))
+      .agg(min(struct(
+        TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).as("h"),
+        col("cand").as("cand"))).as("m"))
+      .select(col("node"), col("m.cand").as("cand"))
       .join(nodes.select(col("id").as("node"), col("label").as("subclass")), Seq("node"))
       .join(broadcast(uppers), Seq("cand"))
       .select(col("subclass"), col("candLabel").as("superclass"), lit(0L).as("labels"),
