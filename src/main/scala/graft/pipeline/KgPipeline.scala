@@ -1157,7 +1157,10 @@ object KgPipeline {
         // write, ~0.3 s each at round-sized deltas); atomicity is unchanged
         // because a failure in ANY write propagates out of the awaits and
         // the marker is never written.
-        val ckptPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        // daemon workers: an exception escaping before the shutdown below
+        // must not leave non-daemon pool threads pinning the JVM open
+        val ckptPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+          (r: Runnable) => { val t = new Thread(r, "ckpt-write"); t.setDaemon(true); t })
         implicit val ckptEc: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(ckptPool)
         def bg(f: => Unit): scala.concurrent.Future[Unit] = scala.concurrent.Future(f)
