@@ -303,15 +303,6 @@ object TextOps {
     val rows = numHashes / bands
     val cand = minhashCandidates(df, textCol, k, numHashes, bands,
       maxBucketSize = maxBucketSize)
-    // the corpus is semi-join pruned to docs that appear in a candidate
-    // pair BEFORE any shingle work: verification cost must scale with the
-    // candidate set, not the corpus — un-pruned, the verification joins
-    // shuffled the full corpus's hash arrays (~0.8 GB per side at 10⁶
-    // docs), the measured bulk of the minhash phase regardless of how few
-    // candidates surfaced.
-    val candIds = cand
-      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-    val pruned = df.join(candIds, Seq("doc_id"), "left_semi")
     // Exact-Jaccard verification, two plans by candidate density (the
     // minhashCandidates geometry switch, measured in round 6):
     //
@@ -320,20 +311,26 @@ object TextOps {
     // candidates on 5k sf0.1 docs — and an array-carry verification
     // shuffles both docs' full shingle-hash arrays per candidate pair
     // (O(cand × setSize) bytes; the measured bulk of the query). Instead,
-    // compute (inter, uni) for ALL overlapping pruned-corpus pairs at once
-    // with the q13 posting-list aggregation (shuffle volume O(Σ df²) of
+    // compute (inter, uni) for ALL overlapping corpus pairs at once with
+    // the q13 posting-list aggregation (shuffle volume O(Σ df²) of
     // 8-byte keys, shared across pairs) and keep the candidate pairs via
     // an equi-join on (a, b). Exactness: a candidate pair absent from the
     // posting-list pairs has inter = 0, i.e. jaccard = 0 < threshold, so
     // for threshold > 0 the output is row-identical to the array plan
     // (thresholds <= 0 are not a dedup setting; the array plan serves
-    // them).
+    // them). No candidate-id pre-prune here: at rows < 4 nearly every doc
+    // with any overlap IS a candidate endpoint by construction, so the
+    // prune dropped ~nothing while its candIds side re-executed the whole
+    // candidate subplan a second time (measured: the un-pruned plan halves
+    // the candidate work; the posting pass already bounds verification by
+    // the corpus, not the candidate count).
     //
     // rows >= 4 (the production 128/16): candidates are dup-cluster-rare,
-    // so the per-pair array plan touches far fewer rows than a pruned-
-    // corpus posting-list pass and stays the winner.
+    // so the per-pair array plan (over a corpus semi-join pruned to
+    // candidate endpoints) touches far fewer rows than a corpus
+    // posting-list pass and stays the winner.
     if (postingListVerify.getOrElse(rows < 4) && threshold > 0) {
-      val st = shingleHashTable(pruned, textCol, k)
+      val st = shingleHashTable(df, textCol, k)
       val posting = st.groupBy("sh")
         .agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
         .filter(size(col("ps")) >= 2)
@@ -349,6 +346,15 @@ object TextOps {
         .filter(col("jaccard") >= threshold)
         .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
     } else {
+      // the corpus is semi-join pruned to docs that appear in a candidate
+      // pair BEFORE any shingle work: verification cost must scale with
+      // the candidate set, not the corpus — un-pruned, the verification
+      // joins shuffled the full corpus's hash arrays (~0.8 GB per side at
+      // 10⁶ docs), the measured bulk of the minhash phase regardless of
+      // how few candidates surfaced.
+      val candIds = cand
+        .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+      val pruned = df.join(candIds, Seq("doc_id"), "left_semi")
       // join back the compiled long-hash shingle arrays (8-byte elements
       // through the shuffle and the set ops, instead of k-word strings)
       val texts = pruned.select(col("doc_id"),
