@@ -21,13 +21,41 @@ object SparkEntry {
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  /** Ephemeral per-invocation scratch (pipeline checkpoint dirs, staging
+    * parquet for the streaming twins): a fresh unique dir per call with NO
+    * reuse across invocations — every bench/oracle run recomputes from the
+    * parquet inputs. Placed on tmpfs when present (JVM temp otherwise,
+    * removed on exit) for the same reason as the streaming twins'
+    * ephemeral checkpoints: this state has no durability contract, so its
+    * many small parquet + commit-marker writes belong on the fastest
+    * ephemeral storage (guide §6). Production pipelines pass caller-owned
+    * durable checkpoint locations and are untouched. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(base, "graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }))
+    dir
+  }
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchBase, prefix).toString
+
   /** One-row watermark-flush sentinel for q31 (doc_id = -1, empty text),
     * written once per JVM. */
   private val q31Sentinel = new java.util.concurrent.atomic.AtomicReference[String]()
   private def q31SentinelDir(s: SparkSession): String = {
     if (q31Sentinel.get() == null) q31Sentinel.synchronized {
       if (q31Sentinel.get() == null) {
-        val dir = java.nio.file.Files.createTempDirectory("q31sentinel").toString
+        val dir = scratchDir("q31sentinel")
         import s.implicits._
         Seq((-1L, "")).toDF("doc_id", "text").coalesce(1)
           .write.mode("overwrite").parquet(dir)
@@ -43,7 +71,7 @@ object SparkEntry {
   private val q33Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q33EventsDir(s: SparkSession, sfDir: String): String =
     q33Dirs.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("q33events").toString
+      val dir = scratchDir("q33events")
       val events = s.read.parquet(t(sfDir, "events"))
         .select(col("event_id"), col("ts"), col("user_id"))
       // sentinel ts derives from max(ts): provably past every session's
@@ -76,7 +104,7 @@ object SparkEntry {
   /** Flagship: the end-to-end extract→link→insert KG pipeline over the
     * synthetic webtext corpus at tiny scale; returns the triples table. */
   def entry(spark: SparkSession): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("kgentry").toString
+    val ckpt = scratchDir("kgentry")
     val corpus = WebtextGen.generate(spark, 400, 8).select(col("url"), col("html"))
     val result = KgPipeline.run(spark, corpus, "html", KgPipeline.domainModels(),
       KgPipeline.PipelineConfig(rounds = 1, maxCandidatesPerRound = 64, minMentionFreq = 2),
@@ -246,7 +274,7 @@ object SparkEntry {
     }),
     // --- KG pipeline (not SQL-expressible: rows-only checks) -------------
     "q24_kg_triples" -> ((s, d) => {
-      val ckpt = java.nio.file.Files.createTempDirectory("kgq").toString
+      val ckpt = scratchDir("kgq")
       val corpus = s.read.parquet(t(d, "documents"))
       KgPipeline.run(s, corpus, "text", KgPipeline.domainModels(),
         KgPipeline.PipelineConfig(rounds = 2, maxCandidatesPerRound = 200, minMentionFreq = 3),

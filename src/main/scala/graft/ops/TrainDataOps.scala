@@ -44,19 +44,33 @@ object TrainDataOps {
     * loop over the node table. */
   def subsDataFrom(edges: DataFrame, nodes: DataFrame,
                    maxNegativePool: Int = 10000): DataFrame = {
-    val oneHop = edges.select(col("src").as("node"), col("dst").as("anc"))
-    val twoHop = edges.as("e1").join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+    // materialize both input tables ONCE (eager localCheckpoint): the
+    // builder references edges 5× (one-hop, both two-hop sides, closure,
+    // pool) and nodes 4× — each reference re-ran the full source subtree
+    // (for the bench taxonomy, a 4-way parquet union scan) since scans,
+    // unlike exchanges, are never reused. One pass each replaces ~9
+    // re-scans; downstream joins against the now-RDD-backed (huge size
+    // estimate) tables get adaptive broadcast hints from the EXACT counts
+    // (GraphOps.hinted — plan choice from measured data, shuffle plans
+    // beyond the limit).
+    val edgesM = edges.localCheckpoint()
+    val nodesM = nodes.localCheckpoint()
+    val nNodes = nodesM.count()
+    def nodesH(idAs: String, labelAs: String): DataFrame = GraphOps.hinted(
+      nodesM.select(col("id").as(idAs), col("label").as(labelAs)), nNodes)
+    val oneHop = edgesM.select(col("src").as("node"), col("dst").as("anc"))
+    val twoHop = edgesM.as("e1").join(edgesM.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("node"), col("e2.dst").as("anc"))
     val positives = oneHop.union(twoHop).distinct()
-      .join(nodes.select(col("id").as("node"), col("label").as("subclass")), Seq("node"))
-      .join(nodes.select(col("id").as("anc"), col("label").as("superclass")), Seq("anc"))
+      .join(nodesH("node", "subclass"), Seq("node"))
+      .join(nodesH("anc", "superclass"), Seq("anc"))
       .select(col("subclass"), col("superclass"), lit(1L).as("labels"),
         col("node"), col("anc"))
     // negatives: candidate pool = internal nodes (appear as an edge dst);
     // for each node pick the md5-minimal candidate that is NOT an ancestor
-    val (closure, nClosure) = GraphOps.ancestorClosureCounted(edges)
-    val uppers = edges.select(col("dst").as("id")).distinct()
-      .join(nodes, Seq("id"))
+    val (closure, nClosure) = GraphOps.ancestorClosureCounted(edgesM)
+    val uppers = edgesM.select(col("dst").as("id")).distinct()
+      .join(GraphOps.hinted(nodesM, nNodes), Seq("id"))
       .select(col("id").as("cand"), col("label").as("candLabel"))
       .orderBy(col("cand")).limit(maxNegativePool)
     val closureR = closure.select(col("node").as("__cn"), col("anc").as("__ca"))
@@ -64,7 +78,7 @@ object TrainDataOps {
     // the node×pool product, the closure anti-join, and the window shuffle
     // — the label strings rejoin AFTER the rn = 1 filter collapses the
     // product back to one row per node
-    val nonAnc = nodes.select(col("id").as("node"))
+    val nonAnc = nodesM.select(col("id").as("node"))
       .crossJoin(broadcast(uppers.select(col("cand")))) // bounded pool ⇒ broadcast-nested-loop, never a shuffle
       // adaptive broadcast of the closure (exact count from the fixpoint):
       // the RDD-backed closure otherwise size-estimates huge and this
@@ -84,7 +98,7 @@ object TrainDataOps {
         TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).as("h"),
         col("cand").as("cand"))).as("m"))
       .select(col("node"), col("m.cand").as("cand"))
-      .join(nodes.select(col("id").as("node"), col("label").as("subclass")), Seq("node"))
+      .join(nodesH("node", "subclass"), Seq("node"))
       .join(broadcast(uppers), Seq("cand"))
       .select(col("subclass"), col("candLabel").as("superclass"), lit(0L).as("labels"),
         col("node"), col("cand").as("anc"))
