@@ -23,76 +23,38 @@ object Probe {
     spark.range(1).count()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    def time(name: String)(f: => Long): Unit = {
-      (1 to 3).foreach { i =>
+    def time(name: String, reps: Int = 3)(f: => Long): Unit = {
+      (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         val n = f
         println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
       }
     }
 
-    val edges = graft.ops.TaxoQueries.edges(spark, sfDir)
-    val nodes = graft.ops.TrainDataOps.labeledNodes(spark, sfDir)
-    time("edges.count")(edges.count())
-    time("closureCounted") {
-      val (c, n) = graft.spark.GraphOps.ancestorClosureCounted(edges)
-      n
-    }
-    time("closure.materialize") {
-      val (c, _) = graft.spark.GraphOps.ancestorClosureCounted(edges)
-      c.count()
-    }
-    time("positives") {
-      val oneHop = edges.select(col("src").as("node"), col("dst").as("anc"))
-      val twoHop = edges.as("e1").join(edges.as("e2"), col("e1.dst") === col("e2.src"))
-        .select(col("e1.src").as("node"), col("e2.dst").as("anc"))
-      oneHop.union(twoHop).distinct()
-        .join(nodes.select(col("id").as("node"), col("label").as("subclass")), Seq("node"))
-        .join(nodes.select(col("id").as("anc"), col("label").as("superclass")), Seq("anc"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val st = docs.select(col("doc_id"),
+        graft.functions.VectorExprs.wordShingleHashes(col("text"), 3).as("shs"))
+      .withColumn("set_size", size(col("shs")))
+      .select(col("doc_id"), col("set_size"), explode(col("shs")).as("sh"))
+    time("shingle_rows")(st.count())
+    val posting = st.groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    time("posting_lists")(posting.count())
+    time("pair_rows") {
+      posting
+        .select(explode(col("ps")).as("x"), col("ps"))
+        .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
+        .filter(col("a") < col("y.doc_id"))
         .count()
     }
-    time("full_q27")(graft.ops.TrainDataOps.subsData(spark, sfDir).count())
-
-    time("full_q27_lck") {
-      import graft.ops.TextOps
-      import graft.spark.GraphOps
-      val edgesM = edges.localCheckpoint()
-      val nodesM = nodes.localCheckpoint()
-      val nNodes = nodesM.count()
-      val oneHop = edgesM.select(col("src").as("node"), col("dst").as("anc"))
-      val twoHop = edgesM.as("e1").join(edgesM.as("e2"), col("e1.dst") === col("e2.src"))
-        .select(col("e1.src").as("node"), col("e2.dst").as("anc"))
-      val nodesH = (alias: String, as2: String) => GraphOps.hinted(
-        nodesM.select(col("id").as(alias), col("label").as(as2)), nNodes)
-      val positives = oneHop.union(twoHop).distinct()
-        .join(nodesH("node", "subclass"), Seq("node"))
-        .join(nodesH("anc", "superclass"), Seq("anc"))
-        .select(col("subclass"), col("superclass"), lit(1L).as("labels"),
-          col("node"), col("anc"))
-      val (closure, nClosure) = GraphOps.ancestorClosureCounted(edgesM)
-      val uppers = edgesM.select(col("dst").as("id")).distinct()
-        .join(GraphOps.hinted(nodesM, nNodes), Seq("id"))
-        .select(col("id").as("cand"), col("label").as("candLabel"))
-        .orderBy(col("cand")).limit(10000)
-      val closureR = closure.select(col("node").as("__cn"), col("anc").as("__ca"))
-      val nonAnc = nodesM.select(col("id").as("node"))
-        .crossJoin(broadcast(uppers.select(col("cand"))))
-        .filter(col("node") =!= col("cand"))
-        .join(GraphOps.hinted(closureR, nClosure),
-          col("node") === col("__cn") && col("cand") === col("__ca"), "left_anti")
-      val negatives = nonAnc
-        .groupBy(col("node"))
-        .agg(min(struct(
-          TextOps.md5Long(concat(col("node").cast("string"), lit(":"), col("cand").cast("string"))).as("h"),
-          col("cand").as("cand"))).as("m"))
-        .select(col("node"), col("m.cand").as("cand"))
-        .join(nodesH("node", "subclass"), Seq("node"))
-        .join(broadcast(uppers), Seq("cand"))
-        .select(col("subclass"), col("candLabel").as("superclass"), lit(0L).as("labels"),
-          col("node"), col("cand").as("anc"))
-      positives.union(negatives)
-        .select(col("subclass"), col("superclass"), col("labels"), col("node"), col("anc"))
-        .orderBy("node", "anc", "labels")
+    time("pair_agg") {
+      posting
+        .select(explode(col("ps")).as("x"), col("ps"))
+        .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
+        .filter(col("a") < col("y.doc_id"))
+        .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
+        .agg(count("*").as("inter"))
         .count()
     }
     spark.stop()

@@ -33,23 +33,32 @@ object TaxoQueries {
     e1.union(e2).union(e3).union(skip)
   }
 
-  def nodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+  def nodes(spark: SparkSession, dir: String): DataFrame =
+    nodesOf(edges(spark, dir))
+
+  private def nodesOf(e: DataFrame): DataFrame =
     e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-  }
 
   /** Full (node, ancestor) closure — distributed G5. */
   def ancestors(spark: SparkSession, dir: String): DataFrame =
     GraphOps.ancestorClosure(edges(spark, dir)).orderBy("node", "anc")
 
-  /** Leaves (no children) — G10 empty-input semantics. */
-  def leafNodes(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.leaves(nodes(spark, dir), edges(spark, dir)).orderBy("id")
+  /** Leaves (no children) — G10 empty-input semantics. The edge table is
+    * materialized ONCE (eager localCheckpoint) — the nodes derivation and
+    * the anti-join otherwise each re-ran the 4-scan union + skip-edge join
+    * subtree (scans, unlike exchanges, are never reused). */
+  def leafNodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(true)
+    GraphOps.leaves(nodesOf(e), e).orderBy("id")
+  }
 
-  /** Node depths (min distance from the root set) — G13. */
-  def nodeDepths(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.depths(nodes(spark, dir), edges(spark, dir))
+  /** Node depths (min distance from the root set) — G13. Single edge-table
+    * materialization for the same reason as [[leafNodes]]. */
+  def nodeDepths(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(true)
+    GraphOps.depths(nodesOf(e), e)
       .select(col("id"), col("depth").cast("long").as("depth")).orderBy("id")
+  }
 
   /** Edges surviving transitive reduction — G18 (drops the skip edges). */
   def transitiveReductionEdges(spark: SparkSession, dir: String): DataFrame =

@@ -1159,7 +1159,7 @@ object KgPipeline {
         // the marker is never written.
         // daemon workers: an exception escaping before the shutdown below
         // must not leave non-daemon pool threads pinning the JVM open
-        val ckptPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+        val ckptPool = java.util.concurrent.Executors.newFixedThreadPool(8,
           (r: Runnable) => { val t = new Thread(r, "ckpt-write"); t.setDaemon(true); t })
         implicit val ckptEc: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(ckptPool)
