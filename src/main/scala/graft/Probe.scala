@@ -32,30 +32,56 @@ object Probe {
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val st = docs.select(col("doc_id"),
+    def posting() = docs.select(col("doc_id"),
         graft.functions.VectorExprs.wordShingleHashes(col("text"), 3).as("shs"))
       .withColumn("set_size", size(col("shs")))
       .select(col("doc_id"), col("set_size"), explode(col("shs")).as("sh"))
-    time("shingle_rows")(st.count())
-    val posting = st.groupBy("sh")
+      .groupBy("sh")
       .agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
       .filter(size(col("ps")) >= 2)
-    time("posting_lists")(posting.count())
-    time("pair_rows") {
-      posting
-        .select(explode(col("ps")).as("x"), col("ps"))
-        .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
-        .filter(col("a") < col("y.doc_id"))
-        .count()
-    }
-    time("pair_agg") {
-      posting
+    def finish(inter: org.apache.spark.sql.DataFrame) = inter
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= 0.12)
+      .count()
+    time("q13_asis") {
+      finish(posting()
         .select(explode(col("ps")).as("x"), col("ps"))
         .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
         .filter(col("a") < col("y.doc_id"))
         .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
-        .agg(count("*").as("inter"))
+        .agg(count("*").as("inter")))
+    }
+    def banded() = docs.select(col("doc_id"),
+        graft.functions.VectorExprs.minhashSig(col("text"), 3, 128).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(127))))
+      .withColumn("bucket",
+        xxhash64(col("band"), slice(col("sig"), col("band") + 1, lit(1))))
+      .select(col("doc_id"), col("bucket"))
+    def interDF() = posting()
+      .select(explode(col("ps")).as("x"), col("ps"))
+      .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
+      .filter(col("a") < col("y.doc_id"))
+      .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
+      .agg(count("*").as("inter"))
+    def q14finish(cand: org.apache.spark.sql.DataFrame) =
+      interDF().join(cand, Seq("a", "b"), "left_semi")
+        .withColumn("uni", col("sa") + col("sb") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+        .filter(col("jaccard") >= 0.12)
         .count()
+    time("q14_distinct") {
+      val b = banded()
+      q14finish(b.as("x").hint("SHUFFLE_HASH").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct())
+    }
+    time("q14_nodistinct") {
+      val b = banded()
+      q14finish(b.as("x").hint("SHUFFLE_HASH").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
     }
     spark.stop()
   }

@@ -204,7 +204,22 @@ object TextOps {
   def minhashCandidates(df: DataFrame, textCol: String = "text", k: Int = 3,
                         numHashes: Int = 128, bands: Int = 16,
                         postingListPlan: Option[Boolean] = None,
-                        maxBucketSize: Int = 1024): DataFrame = {
+                        maxBucketSize: Int = 1024): DataFrame =
+    minhashCandidatesImpl(df, textCol, k, numHashes, bands, postingListPlan,
+      maxBucketSize, dedup = true)
+
+  /** [[minhashCandidates]] with the output-pair dedup optional: a consumer
+    * that only probes membership (the posting-verify left_semi) is
+    * insensitive to duplicate pairs, and the self-join plan's distinct is
+    * a full exchange + aggregation over the raw join output (a pair
+    * surfaces once per shared band — ~10× the distinct pair count at
+    * rows = 1 geometries). Consumers that JOIN against the pairs must keep
+    * dedup = true or duplicate their output. */
+  private def minhashCandidatesImpl(df: DataFrame, textCol: String, k: Int,
+                                    numHashes: Int, bands: Int,
+                                    postingListPlan: Option[Boolean],
+                                    maxBucketSize: Int,
+                                    dedup: Boolean): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // the band index is mixed INTO the bucket hash: a single 8-byte join
@@ -270,11 +285,11 @@ object TextOps {
       // exploded table (numHashes rows per doc per side) are pure
       // overhead; equi-key hash lookup preserves the x.doc_id < y.doc_id
       // filter semantics unchanged
-      banded.as("x").hint("SHUFFLE_HASH").join(banded.as("y"),
+      val raw = banded.as("x").hint("SHUFFLE_HASH").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+      if (dedup) raw.distinct() else raw
     }
   }
 
@@ -301,8 +316,13 @@ object TextOps {
                    maxBucketSize: Int = 1024,
                    postingListVerify: Option[Boolean] = None): DataFrame = {
     val rows = numHashes / bands
-    val cand = minhashCandidates(df, textCol, k, numHashes, bands,
-      maxBucketSize = maxBucketSize)
+    val postingVerify = postingListVerify.getOrElse(rows < 4) && threshold > 0
+    // the posting-verify branch consumes the candidates ONLY as a
+    // left_semi probe side, so the pair dedup (a full exchange +
+    // aggregation over the per-shared-band join output) is skipped there
+    val cand = minhashCandidatesImpl(df, textCol, k, numHashes, bands,
+      postingListPlan = None, maxBucketSize = maxBucketSize,
+      dedup = !postingVerify)
     // Exact-Jaccard verification, two plans by candidate density (the
     // minhashCandidates geometry switch, measured in round 6):
     //
@@ -329,7 +349,7 @@ object TextOps {
     // so the per-pair array plan (over a corpus semi-join pruned to
     // candidate endpoints) touches far fewer rows than a corpus
     // posting-list pass and stays the winner.
-    if (postingListVerify.getOrElse(rows < 4) && threshold > 0) {
+    if (postingVerify) {
       val st = shingleHashTable(df, textCol, k)
       val posting = st.groupBy("sh")
         .agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
