@@ -31,57 +31,24 @@ object Probe {
       }
     }
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def posting() = docs.select(col("doc_id"),
-        graft.functions.VectorExprs.wordShingleHashes(col("text"), 3).as("shs"))
-      .withColumn("set_size", size(col("shs")))
-      .select(col("doc_id"), col("set_size"), explode(col("shs")).as("sh"))
-      .groupBy("sh")
-      .agg(collect_list(struct(col("doc_id"), col("set_size"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-    def finish(inter: org.apache.spark.sql.DataFrame) = inter
-      .withColumn("uni", col("sa") + col("sb") - col("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-      .filter(col("jaccard") >= 0.12)
-      .count()
-    time("q13_asis") {
-      finish(posting()
-        .select(explode(col("ps")).as("x"), col("ps"))
-        .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
-        .filter(col("a") < col("y.doc_id"))
-        .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
-        .agg(count("*").as("inter")))
+    time("q33_staging") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "q33probe").toString
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
+        (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
+      events.union(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+      1L
     }
-    def banded() = docs.select(col("doc_id"),
-        graft.functions.VectorExprs.minhashSig(col("text"), 3, 128).as("sig"))
-      .withColumn("band", explode(sequence(lit(0), lit(127))))
-      .withColumn("bucket",
-        xxhash64(col("band"), slice(col("sig"), col("band") + 1, lit(1))))
-      .select(col("doc_id"), col("bucket"))
-    def interDF() = posting()
-      .select(explode(col("ps")).as("x"), col("ps"))
-      .select(col("x.doc_id").as("a"), col("x.set_size").as("sa"), explode(col("ps")).as("y"))
-      .filter(col("a") < col("y.doc_id"))
-      .groupBy(col("a"), col("y.doc_id").as("b"), col("sa"), col("y.set_size").as("sb"))
-      .agg(count("*").as("inter"))
-    def q14finish(cand: org.apache.spark.sql.DataFrame) =
-      interDF().join(cand, Seq("a", "b"), "left_semi")
-        .withColumn("uni", col("sa") + col("sb") - col("inter"))
-        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-        .filter(col("jaccard") >= 0.12)
-        .count()
-    time("q14_distinct") {
-      val b = banded()
-      q14finish(b.as("x").hint("SHUFFLE_HASH").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct())
-    }
-    time("q14_nodistinct") {
-      val b = banded()
-      q14finish(b.as("x").hint("SHUFFLE_HASH").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+    time("q33_sentinel_only") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "q33probe2").toString
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
+        (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
+      sentinel.coalesce(1).write.mode("overwrite").parquet(dir)
+      1L
     }
     spark.stop()
   }

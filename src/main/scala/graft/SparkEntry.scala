@@ -67,19 +67,35 @@ object SparkEntry {
 
   /** q33 staging: events + a far-future sentinel row (user_id = -1) that
     * advances the watermark so every open session times out and flushes —
-    * written once per (JVM, sfDir). */
+    * built once per (JVM, sfDir). The events table itself is SYMLINKED
+    * into the stream directory (zero copy — the old staging rewrote the
+    * whole table coalesce(1), a ~1 s single-task write per fresh JVM);
+    * only the one-row sentinel is written. Spark's parquet reader fills
+    * columns missing from a footer with nulls, and the sessionization
+    * plan selects only (user_id, ts, event_id), so the two-file directory
+    * reads exactly like the old single staged file with the sentinel row
+    * last. */
   private val q33Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q33EventsDir(s: SparkSession, sfDir: String): String =
     q33Dirs.computeIfAbsent(sfDir, { _ =>
       val dir = scratchDir("q33events")
       val events = s.read.parquet(t(sfDir, "events"))
-        .select(col("event_id"), col("ts"), col("user_id"))
       // sentinel ts derives from max(ts): provably past every session's
       // end + gap regardless of the table's time span (limit(1) could pick
       // an early row and silently drop still-open sessions)
       val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
         (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
-      events.union(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+      val sentDir = scratchDir("q33sentinel")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(sentDir))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException(s"no parquet part written under $sentDir"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        java.nio.file.Paths.get(t(sfDir, "events")).toAbsolutePath)
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, "sentinel.parquet"), part)
       dir
     })
 
