@@ -49,16 +49,22 @@ object SparkEntry {
   private def scratchDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchBase, prefix).toString
 
-  /** One-row watermark-flush sentinel for q31 (doc_id = -1, empty text),
-    * written once per JVM. */
+  /** One-row watermark-flush sentinel for q31 (doc_id = -1, empty text).
+    * The row is a CONSTANT of the query definition — it derives from
+    * nothing in the input — so it ships as a static resource fixture
+    * (src/main/resources/graft/q31-sentinel.parquet) extracted to scratch
+    * once per JVM, instead of paying a one-row Spark write job on every
+    * fresh-JVM leg. */
   private val q31Sentinel = new java.util.concurrent.atomic.AtomicReference[String]()
   private def q31SentinelDir(s: SparkSession): String = {
     if (q31Sentinel.get() == null) q31Sentinel.synchronized {
       if (q31Sentinel.get() == null) {
         val dir = scratchDir("q31sentinel")
-        import s.implicits._
-        Seq((-1L, "")).toDF("doc_id", "text").coalesce(1)
-          .write.mode("overwrite").parquet(dir)
+        val in = getClass.getResourceAsStream("/graft/q31-sentinel.parquet")
+        require(in != null, "missing resource /graft/q31-sentinel.parquet")
+        try java.nio.file.Files.copy(in,
+          java.nio.file.Paths.get(dir, "sentinel.parquet"))
+        finally in.close()
         q31Sentinel.set(dir)
       }
     }
