@@ -143,24 +143,36 @@ object GraphOps {
   private[graft] def ancestorClosureCounted(
       edges: DataFrame, maxIter: Int = 64,
       driverEdgeLimit: Long = -1L): (DataFrame, Long) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val projected = edges.select(col("src").as("node"), col("dst").as("anc"))
+    val edgeLimit =
+      if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
+    // driver regime probe BEFORE any distributed work: collect the RAW
+    // edge rows under the cap (limit(cap+1) detects overflow in one job —
+    // the TR pattern). The worklist closure is duplicate-edge-insensitive
+    // (`seen` guards every push), so skipping the distributed distinct +
+    // localCheckpoint + count (three jobs) changes no output row; the
+    // regime boundary is now the RAW row count (stricter — a table over
+    // the cap only in duplicates falls back to the distributed loop,
+    // which distincts it as before).
+    if (edgeLimit > 0 && isLongLong(projected)) {
+      val cap = math.min(edgeLimit, Int.MaxValue - 2L).toInt
+      val raw = projected.limit(cap + 1).as[(Long, Long)].collect()
+      if (raw.length <= cap) {
+        localClosure(raw, graphDriverClosureLimit(edges)) match {
+          case Some(pairs) =>
+            return (localPairsDF(spark, pairs, "node", "anc"), pairs.length.toLong)
+          case None => () // closure larger than the driver cap: fall through
+        }
+      }
+    }
     // localCheckpoint (not just persist): the frontier unions below mix this
     // seed with checkpointed RDD-backed plans; leaving a LocalRelation-
     // shaped child under the Union trips constraint rewriting
     // (AttributeMap key-not-found) when the input is a driver-built table
-    val e = edges.select(col("src").as("node"), col("dst").as("anc")).distinct()
-      .localCheckpoint(true)
+    val e = projected.distinct().localCheckpoint(true)
     val eCount = e.count()
-    val edgeLimit =
-      if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
-    if (edgeLimit > 0 && eCount <= edgeLimit && isLongLong(e)) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      localClosure(e.as[(Long, Long)].collect(), graphDriverClosureLimit(edges)) match {
-        case Some(pairs) =>
-          return (localPairsDF(spark, pairs, "node", "anc"), pairs.length.toLong)
-        case None => () // closure larger than the driver cap: fall through
-      }
-    }
     var closure = e
     var closureCount = eCount
     var frontier = e
@@ -223,25 +235,33 @@ object GraphOps {
     * table). */
   def depths(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64,
              driverEdgeLimit: Long = -1L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    val eCount = e.count()
+    val projected = edges.select(col("src"), col("dst"))
     val edgeLimit =
       if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
-    if (edgeLimit > 0 && eCount <= edgeLimit && isLongLong(e) &&
+    if (edgeLimit > 0 && isLongLong(projected) &&
         nodes.schema.fields.exists(f => f.name == "id" &&
           f.dataType == org.apache.spark.sql.types.LongType)) {
       // driver regime: multi-source BFS from the root set over the collected
       // edge list — identical rows to the distributed fixpoint (roots emit
       // one row PER NODE-TABLE OCCURRENCE like roots(), discovered non-roots
-      // one row per id like the distinct'd frontier), distinct edges only
-      // (the fixpoint's e is distinct'd too). Node table collected under the
-      // same cap via limit(cap+1): an over-cap node list falls back.
+      // one row per id like the distinct'd frontier). The RAW edge rows are
+      // collected under the cap (limit(cap+1) detects overflow in one job,
+      // the TR/closure pattern — no distributed distinct + checkpoint +
+      // count first): the BFS is duplicate-edge-insensitive (the depthOf /
+      // isChild guards make a repeated edge a no-op), so output rows are
+      // identical; the regime boundary is the RAW row count (stricter —
+      // duplicate-heavy tables fall back to the distributed loop, which
+      // distincts as before). Node table collected under the same cap.
       val spark = edges.sparkSession
       import spark.implicits._
       val cap = math.min(edgeLimit, Int.MaxValue - 2L).toInt
-      val nodeArr = nodes.select(col("id")).limit(cap + 1).as[Long].collect()
-      if (nodeArr.length <= cap) {
-        val edgeArr = e.as[(Long, Long)].collect()
+      val rawEdges = projected.limit(cap + 1).as[(Long, Long)].collect()
+      val nodeArr =
+        if (rawEdges.length <= cap)
+          nodes.select(col("id")).limit(cap + 1).as[Long].collect()
+        else Array.empty[Long]
+      if (rawEdges.length <= cap && nodeArr.length <= cap) {
+        val edgeArr = rawEdges
         val children = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
         val isChild = new java.util.HashSet[Long]()
         edgeArr.foreach { case (s, d) =>
@@ -283,6 +303,8 @@ object GraphOps {
         }
       }
     }
+    val e = projected.distinct().localCheckpoint(true)
+    val eCount = e.count()
     var level = roots(nodes, edges).select(col("id"), lit(0).as("depth"))
       .localCheckpoint(true)
     var levelCount = level.count()
