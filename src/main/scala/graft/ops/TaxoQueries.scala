@@ -43,22 +43,18 @@ object TaxoQueries {
   def ancestors(spark: SparkSession, dir: String): DataFrame =
     GraphOps.ancestorClosure(edges(spark, dir)).orderBy("node", "anc")
 
-  /** Leaves (no children) — G10 empty-input semantics. The edge table is
-    * materialized ONCE (eager localCheckpoint) — the nodes derivation and
-    * the anti-join otherwise each re-ran the 4-scan union + skip-edge join
-    * subtree (scans, unlike exchanges, are never reused). */
-  def leafNodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(true)
-    GraphOps.leaves(nodesOf(e), e).orderBy("id")
-  }
+  /** Leaves (no children) — G10 empty-input semantics. The node set here
+    * is exactly distinct(src ∪ dst), so the edge-node driver fast path
+    * applies (one raw collect under the cap; distributed anti-join with a
+    * single edge materialization beyond it). */
+  def leafNodes(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.leavesOfEdgeNodes(edges(spark, dir)).orderBy("id")
 
-  /** Node depths (min distance from the root set) — G13. Single edge-table
-    * materialization for the same reason as [[leafNodes]]. */
-  def nodeDepths(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(true)
-    GraphOps.depths(nodesOf(e), e)
+  /** Node depths (min distance from the root set) — G13. Same edge-node
+    * specialization as [[leafNodes]]. */
+  def nodeDepths(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.depthsOfEdgeNodes(edges(spark, dir))
       .select(col("id"), col("depth").cast("long").as("depth")).orderBy("id")
-  }
 
   /** Edges surviving transitive reduction — G18 (drops the skip edges). */
   def transitiveReductionEdges(spark: SparkSession, dir: String): DataFrame =

@@ -224,6 +224,135 @@ object GraphOps {
   def roots(nodes: DataFrame, edges: DataFrame): DataFrame =
     nodes.join(edges.select(col("src").as("__c")), col("id") === col("__c"), "left_anti")
 
+  /** Raw edge rows collected under the driver-regime cap, or None when the
+    * table exceeds it (limit(cap+1) detects overflow in ONE job — no
+    * distributed distinct/count first). Shared probe for the driver fast
+    * paths; callers' kernels must be duplicate-edge-insensitive. */
+  private def rawEdgeProbe(edges: DataFrame,
+                           driverEdgeLimit: Long): Option[Array[(Long, Long)]] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val projected = edges.select(col("src"), col("dst"))
+    val edgeLimit =
+      if (driverEdgeLimit >= 0) driverEdgeLimit else graphDriverEdgeLimit(edges)
+    if (edgeLimit > 0 && isLongLong(projected)) {
+      val cap = math.min(edgeLimit, Int.MaxValue - 2L).toInt
+      val raw = projected.limit(cap + 1).as[(Long, Long)].collect()
+      if (raw.length <= cap) Some(raw) else None
+    } else None
+  }
+
+  /** One-column id DataFrame for a driver-computed node list (the
+    * localPairsDF sizing rule). */
+  private def localIdsDF(spark: org.apache.spark.sql.SparkSession,
+                         ids: Array[Long], name: String): DataFrame = {
+    import spark.implicits._
+    if (ids.length <= 100000) spark.createDataFrame(ids.toSeq.map(Tuple1(_))).toDF(name)
+    else spark.sparkContext
+      .parallelize(ids.toSeq, math.max(1, ids.length / 500000)).toDF(name)
+  }
+
+  /** [[leaves]] specialized to the common `nodes ≡ distinct(src ∪ dst)`
+    * derivation: edge tables under the driver cap are collected once (raw,
+    * one job) and the leaf set — distinct srcs that never appear as a dst
+    * (a dst row is its own parent's child, never a leaf) — is computed
+    * locally; output rows are identical to
+    * `leaves(distinct(src ∪ dst), edges)` (one row per leaf id, order
+    * irrelevant to every caller, which sorts). Over-cap tables run exactly
+    * that distributed anti-join, with the edge table materialized once. */
+  def leavesOfEdgeNodes(edges: DataFrame, driverEdgeLimit: Long = -1L): DataFrame = {
+    val spark = edges.sparkSession
+    rawEdgeProbe(edges, driverEdgeLimit) match {
+      case Some(raw) =>
+        val dst = new java.util.HashSet[Long]()
+        raw.foreach { case (_, d) => dst.add(d) }
+        val seen = new java.util.HashSet[Long]()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        raw.foreach { case (s, _) => if (!dst.contains(s) && seen.add(s)) out += s }
+        localIdsDF(spark, out.toArray, "id")
+      case None =>
+        val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+        val ids = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        leaves(ids, e)
+    }
+  }
+
+  /** [[depths]] specialized to `nodes ≡ distinct(src ∪ dst)`: under the
+    * driver cap the node set derives from the one collected edge list (no
+    * separate distributed distinct + node collect), output rows identical
+    * to `depths(distinct(src ∪ dst), edges)` — that derivation emits one
+    * row per id, exactly the BFS's per-id emission. */
+  def depthsOfEdgeNodes(edges: DataFrame, maxIter: Int = 64,
+                        driverEdgeLimit: Long = -1L): DataFrame = {
+    val spark = edges.sparkSession
+    rawEdgeProbe(edges, driverEdgeLimit) match {
+      case Some(raw) =>
+        val seen = new java.util.HashSet[Long]()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        raw.foreach { case (s, d) =>
+          if (seen.add(s)) ids += s
+          if (seen.add(d)) ids += d
+        }
+        localDepthsDF(spark, ids.toArray, raw)
+      case None =>
+        val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+        val ids = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        // the probe already established the table is over the cap (or not
+        // long-typed): driverEdgeLimit = 0 skips depths' identical re-probe
+        depths(ids, e, maxIter, driverEdgeLimit = 0L)
+    }
+  }
+
+  /** Driver twin of the depths fixpoint: multi-source BFS from the root
+    * set over a collected edge list. Root rows are emitted once per
+    * node-array occurrence (exactly as roots() would), discovered
+    * non-roots once per id; duplicate edges are no-ops (depthOf guard).
+    * Shared by [[depths]]'s driver regime and [[depthsOfEdgeNodes]]. */
+  private def localDepthsDF(spark: org.apache.spark.sql.SparkSession,
+                            nodeArr: Array[Long],
+                            edgeArr: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val children = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    val isChild = new java.util.HashSet[Long]()
+    edgeArr.foreach { case (s, d) =>
+      children.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
+      isChild.add(s)
+    }
+    val depthOf = new java.util.HashMap[Long, Int]()
+    var frontier = nodeArr.iterator.filter(!isChild.contains(_)).toArray.distinct
+    frontier.foreach(depthOf.put(_, 0))
+    var d = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    // root rows per node-array occurrence (duplicate node rows stay
+    // duplicated, exactly as roots() would emit them)
+    nodeArr.foreach(n => if (!isChild.contains(n)) out += ((n, 0)))
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { p =>
+        val cs = children.get(p)
+        if (cs != null) {
+          var i = 0
+          while (i < cs.size()) {
+            val c = cs.get(i)
+            if (!depthOf.containsKey(c)) {
+              depthOf.put(c, d); next += c; out += ((c, d))
+            }
+            i += 1
+          }
+        }
+      }
+      frontier = next.toArray
+    }
+    if (out.length <= 100000)
+      spark.createDataFrame(out.toSeq).toDF("id", "depth")
+    else spark.sparkContext
+      .parallelize(out.toSeq, math.max(1, out.length / 500000))
+      .toDF("id", "depth")
+  }
+
   /** Per-node min distance from any root — distributed `annotate_levels`
     * (G13/G15, taxonomy.py:460-517). Level-synchronous BFS: the frontier at
     * iteration k holds EXACTLY the nodes whose min depth is k (a node is
@@ -260,48 +389,8 @@ object GraphOps {
         if (rawEdges.length <= cap)
           nodes.select(col("id")).limit(cap + 1).as[Long].collect()
         else Array.empty[Long]
-      if (rawEdges.length <= cap && nodeArr.length <= cap) {
-        val edgeArr = rawEdges
-        val children = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
-        val isChild = new java.util.HashSet[Long]()
-        edgeArr.foreach { case (s, d) =>
-          children.computeIfAbsent(d, _ => new java.util.ArrayList[Long]()).add(s)
-          isChild.add(s)
-        }
-        val depthOf = new java.util.HashMap[Long, Int]()
-        var frontier = nodeArr.iterator.filter(!isChild.contains(_)).toArray.distinct
-        frontier.foreach(depthOf.put(_, 0))
-        var d = 0
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        // root rows per node-table occurrence (duplicate node rows stay
-        // duplicated, exactly as roots() would emit them)
-        nodeArr.foreach(n => if (!isChild.contains(n)) out += ((n, 0)))
-        while (frontier.nonEmpty) {
-          d += 1
-          val next = scala.collection.mutable.ArrayBuffer.empty[Long]
-          frontier.foreach { p =>
-            val cs = children.get(p)
-            if (cs != null) {
-              var i = 0
-              while (i < cs.size()) {
-                val c = cs.get(i)
-                if (!depthOf.containsKey(c)) {
-                  depthOf.put(c, d); next += c; out += ((c, d))
-                }
-                i += 1
-              }
-            }
-          }
-          frontier = next.toArray
-        }
-        return {
-          if (out.length <= 100000)
-            spark.createDataFrame(out.toSeq).toDF("id", "depth")
-          else spark.sparkContext
-            .parallelize(out.toSeq, math.max(1, out.length / 500000))
-            .toDF("id", "depth")
-        }
-      }
+      if (rawEdges.length <= cap && nodeArr.length <= cap)
+        return localDepthsDF(spark, nodeArr, rawEdges)
     }
     val e = projected.distinct().localCheckpoint(true)
     val eCount = e.count()

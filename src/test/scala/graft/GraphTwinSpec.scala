@@ -5,6 +5,7 @@ import graft.lexical.Tokenset
 import graft.spark.GraphOps
 import graft.taxo.{MutableTaxo, TaxoJson}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Distributed twins of G9 (reduce_subset) / G10 (get_LCA) / G11 (get_GCD)
   * / G12 (insertion search space) checked for set-equality against the
@@ -73,6 +74,31 @@ class GraphTwinSpec extends SparkSpecBase {
       rows(GraphOps.ancestorClosure(cyc, driverEdgeLimit = 0L)))
     // the cycle's members reach themselves: self-pairs present in BOTH
     assert(rows(GraphOps.ancestorClosure(cyc)).contains((1L, 1L)))
+  }
+
+  test("edge-node-derived leaves/depths equal the generic distributed forms") {
+    // same graphs as above: skip edges, diamond, duplicate edge rows, cycle
+    for (g <- Seq(
+        Seq((10L, 1L), (11L, 1L), (12L, 10L), (12L, 11L), (12L, 1L),
+          (13L, 12L), (13L, 1L), (13L, 12L)),
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)))) {
+      val e = g.toDF("src", "dst")
+      val ids = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      // driver fast path vs generic distributed anti-join / fixpoint
+      assert(GraphOps.leavesOfEdgeNodes(e).as[Long].collect().toSeq.sorted ==
+        GraphOps.leaves(ids, e).as[Long].collect().toSeq.sorted)
+      assert(GraphOps.depthsOfEdgeNodes(e).as[(Long, Int)].collect().toSeq.sorted ==
+        GraphOps.depths(ids, e, driverEdgeLimit = 0L)
+          .as[(Long, Int)].collect().toSeq.sorted)
+      // over-cap fallback of the specialized forms equals the fast path
+      assert(GraphOps.leavesOfEdgeNodes(e, driverEdgeLimit = 1L)
+        .as[Long].collect().toSeq.sorted ==
+        GraphOps.leavesOfEdgeNodes(e).as[Long].collect().toSeq.sorted)
+      assert(GraphOps.depthsOfEdgeNodes(e, driverEdgeLimit = 1L)
+        .as[(Long, Int)].collect().toSeq.sorted ==
+        GraphOps.depthsOfEdgeNodes(e).as[(Long, Int)].collect().toSeq.sorted)
+    }
   }
 
   test("distributed reduce_subset equals the driver twin (both directions)") {
