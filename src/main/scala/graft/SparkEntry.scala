@@ -76,34 +76,94 @@ object SparkEntry {
     * built once per (JVM, sfDir). The events table itself is SYMLINKED
     * into the stream directory (zero copy — the old staging rewrote the
     * whole table coalesce(1), a ~1 s single-task write per fresh JVM);
-    * only the one-row sentinel is written. Spark's parquet reader fills
-    * columns missing from a footer with nulls, and the sessionization
-    * plan selects only (user_id, ts, event_id), so the two-file directory
-    * reads exactly like the old single staged file with the sentinel row
-    * last. */
+    * only the one-row sentinel is provided.
+    *
+    * Sentinel ts must provably exceed every session's end + gap. The old
+    * staging derived it as max(ts) + 365 days via an aggregation job plus
+    * a one-row parquet write (~1.1 s first-invocation, measured). Now the
+    * driver reads max(ts) from the events file's parquet FOOTER statistics
+    * (~10 ms — the same column stats predicate pushdown trusts) and, when
+    * the committed year-3000 sentinel fixture
+    * (src/main/resources/graft/q33-sentinel.parquet, schema byte-matched
+    * to the old dynamic write: INT64 TIMESTAMP(MICROS,false)) clears
+    * max(ts) by > 366 days, symlinks that instead — no Spark job at all.
+    * Any mismatch (multi-file table, non-NTZ-micros ts, missing stats, or
+    * events within 366 days of year 3000) falls back to the exact old
+    * agg + write staging. Session output is invariant to the sentinel's
+    * ts value once it is past every session end + gap: all open sessions
+    * time out in the flush batch either way, and the sentinel user's own
+    * row is filtered by the reader (user_id >= 0). */
   private val q33Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val Year3000Micros = 32503680000000000L // 3000-01-01T00:00:00 (NTZ micros)
   private def q33EventsDir(s: SparkSession, sfDir: String): String =
     q33Dirs.computeIfAbsent(sfDir, { _ =>
       val dir = scratchDir("q33events")
-      val events = s.read.parquet(t(sfDir, "events"))
-      // sentinel ts derives from max(ts): provably past every session's
-      // end + gap regardless of the table's time span (limit(1) could pick
-      // an early row and silently drop still-open sessions)
-      val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
-        (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
-      val sentDir = scratchDir("q33sentinel")
-      sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(sentDir))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() =>
-          new IllegalStateException(s"no parquet part written under $sentDir"))
+      val marginMicros = 366L * 24 * 3600 * 1000000L
+      val sentinelPart: java.nio.file.Path = footerMaxTsMicros(s, t(sfDir, "events")) match {
+        case Some(maxTs) if maxTs + marginMicros < Year3000Micros =>
+          val sentDir = scratchDir("q33sentinel")
+          val in = getClass.getResourceAsStream("/graft/q33-sentinel.parquet")
+          require(in != null, "missing resource /graft/q33-sentinel.parquet")
+          val p = java.nio.file.Paths.get(sentDir, "sentinel.parquet")
+          try java.nio.file.Files.copy(in, p) finally in.close()
+          p
+        case _ =>
+          // fallback: the original dynamic staging (agg job + one-row write)
+          val events = s.read.parquet(t(sfDir, "events"))
+          val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
+            (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
+          val sentDir = scratchDir("q33sentinel")
+          sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir)
+          java.nio.file.Files.list(java.nio.file.Paths.get(sentDir))
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow(() =>
+              new IllegalStateException(s"no parquet part written under $sentDir"))
+      }
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(dir, "events.parquet"),
         java.nio.file.Paths.get(t(sfDir, "events")).toAbsolutePath)
       java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(dir, "sentinel.parquet"), part)
+        java.nio.file.Paths.get(dir, "sentinel.parquet"), sentinelPart)
       dir
     })
+
+  /** max(ts) in micros from a SINGLE parquet file's footer column
+    * statistics — a driver-side metadata read with no Spark job. Returns
+    * None (caller falls back to an aggregation job) unless every row group
+    * carries non-null INT64 TIMESTAMP(MICROS, isAdjustedToUTC = false)
+    * stats for `ts` — the NTZ-micros shape the committed static sentinel
+    * fixture matches; any other layout must keep the dynamic staging so
+    * the directory's two files agree on the ts type. */
+  private def footerMaxTsMicros(s: SparkSession, path: String): Option[Long] = try {
+    if (!java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))) return None
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), s.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+      val blocks = r.getFooter.getBlocks
+      if (blocks.isEmpty) return None
+      var maxTs = Long.MinValue
+      var b = 0
+      while (b < blocks.size()) {
+        val cols = blocks.get(b).getColumns
+        val ts = (0 until cols.size()).map(cols.get).find(_.getPath.toDotString == "ts")
+          .getOrElse(return None)
+        val pt = ts.getPrimitiveType
+        val okType = pt.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT64 &&
+          (pt.getLogicalTypeAnnotation match {
+            case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS && !a.isAdjustedToUTC
+            case _ => false
+          })
+        val st = ts.getStatistics
+        if (!okType || st == null || st.isEmpty || !st.hasNonNullValue) return None
+        maxTs = math.max(maxTs, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        b += 1
+      }
+      Some(maxTs)
+    } finally r.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The file stream source needs a directory; the testdata tables are
     * single parquet files. Expose each as a directory via a memoized
