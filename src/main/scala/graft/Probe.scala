@@ -20,10 +20,10 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     spark.range(1).count()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    def time(name: String, reps: Int = 3)(f: => Long): Unit = {
+    def time(name: String, reps: Int = 5)(f: => Long): Unit = {
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         val n = f
@@ -31,77 +31,62 @@ object Probe {
       }
     }
 
-    if (args.headOption.contains("gen-q33-sentinel")) {
-      // one-off generator for src/main/resources/graft/q33-sentinel.parquet:
-      // (event_id = -1, ts = 3000-01-01 NTZ micros, user_id = -1) with the
-      // exact schema the dynamic staging write produces (TimestampNTZType,
-      // INT64 TIMESTAMP(MICROS,false))
-      val dir = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/tmp"), "q33gen").toString
-      spark.range(1).select(lit(-1L).as("event_id"),
-          lit("3000-01-01 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
-          lit(-1L).as("user_id"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-      val p = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .filter(x => x.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dest = java.nio.file.Paths.get("src/main/resources/graft/q33-sentinel.parquet")
-      java.nio.file.Files.copy(p, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      println(s"[probe] wrote $dest (${java.nio.file.Files.size(dest)} bytes)")
-      println("[probe] read-back: " + spark.read.parquet(dest.toString).schema
-        .map(f => s"${f.name}:${f.dataType}").mkString(", "))
-      spark.read.parquet(dest.toString).show(false)
-      spark.stop(); return
-    }
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "ckprobe")
+    val rows = (1 to 500).map(i => (i.toLong, i.toLong + 7, s"label_$i"))
 
-    // what does Spark infer for the events ts column?
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    println("[probe] events schema: " + events.schema.map(f => s"${f.name}:${f.dataType}").mkString(", "))
-
-    // current per-JVM q33 sentinel staging (agg job + one-row write)
-    time("q33_sentinel_agg_write") {
-      val dir = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "q33probe2").toString
-      val sentinel = events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
-        (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
-      sentinel.coalesce(1).write.mode("overwrite").parquet(dir)
-      1L
-    }
-    // what footer type does the Spark-written sentinel carry?
-    val sdir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "q33probe3").toString
-    events.agg(max(col("ts")).as("ts")).select(lit(-1L).as("event_id"),
-        (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), lit(-1L).as("user_id"))
-      .coalesce(1).write.mode("overwrite").parquet(sdir)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(sdir))
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-    val conf = spark.sparkContext.hadoopConfiguration
-    def footerInfo(p: String): Unit = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val md = r.getFooter.getFileMetaData
-        println(s"[probe] footer $p schema: ${md.getSchema}")
-        val blocks = r.getFooter.getBlocks
-        val tsCols = blocks.get(0).getColumns
-        (0 until tsCols.size()).foreach { i =>
-          val c = tsCols.get(i)
-          if (c.getPath.toDotString == "ts")
-            println(s"[probe]   ts stats: type=${c.getPrimitiveType} max=${c.getStatistics.genericGetMax}")
+    // current shape: 5 driver-Seq LocalRelation writes through a pool
+    time("spark_5writes_pooled") {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => { val t = new Thread(r, "p"); t.setDaemon(true); t })
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = (1 to 5).map { k =>
+        scala.concurrent.Future {
+          rows.toDF("seq", "id", "label").coalesce(1)
+            .write.mode("overwrite").parquet(s"$base/sp_$k")
         }
-      } finally r.close()
+      }
+      fs.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      pool.shutdown()
+      5L
     }
-    footerInfo(part.toString)
-    // driver-side footer stat read of the events table (the candidate
-    // replacement for the agg job)
-    time("footer_stat_read") {
-      footerInfo(s"$sfDir/events.parquet")
-      1L
+
+    // candidate: direct parquet-mr writes on the driver
+    import org.apache.parquet.schema.{MessageTypeParser}
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val schema = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional int64 seq; optional int64 id; optional binary label (STRING); }")
+    time("parquetmr_5writes") {
+      (1 to 5).foreach { k =>
+        val dir = java.nio.file.Paths.get(s"$base/mr_$k")
+        java.nio.file.Files.createDirectories(dir)
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+        val w = ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$dir/part-00000.snappy.parquet"),
+            new org.apache.hadoop.conf.Configuration()))
+          .withConf(conf)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+          .build()
+        try rows.foreach { case (a, b, l) =>
+          val g = new SimpleGroup(schema)
+          g.add("seq", a); g.add("id", b); g.add("label", l)
+          w.write(g)
+        } finally w.close()
+      }
+      5L
     }
-    // sentinel read-back: what does Spark infer from the sentinel file alone?
-    println("[probe] sentinel schema: " + spark.read.parquet(sdir).schema
-      .map(f => s"${f.name}:${f.dataType}").mkString(", "))
+    // read-back parity: does Spark read the parquet-mr file identically?
+    val a = spark.read.parquet(s"$base/sp_1").orderBy("seq").collect().toSeq
+    val b = spark.read.parquet(s"$base/mr_1").orderBy("seq").collect().toSeq
+    println(s"[probe] readback schema spark=${spark.read.parquet(s"$base/sp_1").schema}")
+    println(s"[probe] readback schema mr   =${spark.read.parquet(s"$base/mr_1").schema}")
+    println(s"[probe] rows equal: ${a == b} (${a.size} vs ${b.size})")
     spark.stop()
   }
 }
