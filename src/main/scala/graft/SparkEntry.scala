@@ -166,21 +166,35 @@ object SparkEntry {
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The file stream source needs a directory; the testdata tables are
-    * single parquet files. Expose each as a directory via a memoized
-    * symlink — zero copy, no staging rewrite of the corpus. */
-  private val q31DocsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def q31DocsDir(sfDir: String): String =
-    q31DocsDirs.computeIfAbsent(sfDir, { _ =>
+    * single parquet files. Stage the corpus AND the constant sentinel in
+    * ONE directory via memoized symlinks — zero copy, no staging rewrite,
+    * and a single file source (the corpus and sentinel share the
+    * (doc_id, text) schema, so the old second source + streaming union
+    * bought nothing: the ingest stamp derives from doc_id, a column). */
+  private val q31StageDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q31StageDir(s: SparkSession, sfDir: String): String =
+    q31StageDirs.computeIfAbsent(sfDir, { _ =>
       // absolute target: a relative sfDir would store a relative link that
       // the OS resolves against the TEMP dir — a dangling symlink only q31
       // would trip over
       val target = java.nio.file.Paths.get(t(sfDir, "documents")).toAbsolutePath
-      if (java.nio.file.Files.isDirectory(target)) target.toString
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("q31docs")
-        java.nio.file.Files.createSymbolicLink(dir.resolve("documents.parquet"), target)
-        dir.toString
-      }
+      val dir = scratchDir("q31stage")
+      if (java.nio.file.Files.isDirectory(target)) {
+        // multi-file corpus: link each part file into the stage dir
+        val ls = java.nio.file.Files.list(target)
+        try ls.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.createSymbolicLink(
+              java.nio.file.Paths.get(dir, p.getFileName.toString), p)
+        } finally ls.close()
+      } else
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dir, "documents.parquet"), target)
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, "sentinel.parquet"),
+        java.nio.file.Paths.get(q31SentinelDir(s), "sentinel.parquet"))
+      dir
     })
 
   /** Flagship: the end-to-end extract→link→insert KG pipeline over the
@@ -391,14 +405,14 @@ object SparkEntry {
     }),
     // --- structured-streaming twin under the same oracle -------------------
     "q31_streaming_mentions" -> ((s, d) => {
-      // stream the documents table directly (zero-copy symlink dir — no
-      // staging rewrite); append mode + watermark — the bounded-state
-      // production shape
+      // stream the documents table + sentinel from ONE zero-copy symlink
+      // dir through a single file source (no staging rewrite, no second
+      // source/offset log, no streaming union); append mode + watermark —
+      // the bounded-state production shape
       val sink = s"q31_mentions_${System.nanoTime()}"
-      val docsDir = q31DocsDir(d)
-      val q = graft.streaming.StreamingOps.streamingMentionsAppend(
-        s, docsDir, s.read.parquet(docsDir).schema,
-        q31SentinelDir(s), s.read.parquet(q31SentinelDir(s)).schema, sink)
+      val stageDir = q31StageDir(s, d)
+      val q = graft.streaming.StreamingOps.streamingMentionsAppendOneDir(
+        s, stageDir, s.read.parquet(t(d, "documents")).schema, sink)
       // awaitTermination returns FALSE on timeout (it does not throw):
       // falling through would read a partially-drained sink — a silently
       // wrong result in Verify and a leaked still-running query in Bench

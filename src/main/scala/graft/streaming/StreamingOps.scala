@@ -103,6 +103,25 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One-directory variant of [[streamingMentionsAppend]]: the corpus and
+    * the sentinel file are staged in the SAME directory (they share the
+    * (doc_id, text) schema) and read through a single file source — one
+    * file-listing/offset log instead of two and no streaming union node.
+    * The per-row semantics are identical to the two-source plan: the
+    * ingest timestamp is derived from doc_id (a column, not the source),
+    * and AvailableNow snapshots both files into the same data batch either
+    * way, so watermark progression and the flush batch are unchanged. */
+  def streamingMentionsAppendOneDir(spark: SparkSession, stagedDir: String,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    queryName: String = "mentions_append"): StreamingQuery =
+    mentionsStamped(spark.readStream.schema(schema).parquet(stagedDir)
+        .select(col("doc_id"), col("text")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", ephemeralCheckpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Shared watermarked mention-count plan for the append-mode twins.
     * Corpus rows are stamped into an ingest-hour window; a sentinel row
     * (doc_id < 0, empty text — yields no mentions) arrives 3 hours later
@@ -114,13 +133,19 @@ object StreamingOps {
                                  docsSchema: org.apache.spark.sql.types.StructType,
                                  sentinelDir: String,
                                  sentinelSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val base = lit("2026-01-01 00:30:00").cast("timestamp")
-    val flush = lit("2026-01-01 03:00:00").cast("timestamp")
     val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
       .select(col("doc_id"), col("text"))
     val sentinel = spark.readStream.schema(sentinelSchema).parquet(sentinelDir)
       .select(col("doc_id"), col("text"))
-    docs.union(sentinel)
+    mentionsStamped(docs.union(sentinel))
+  }
+
+  /** Watermark-stamp + bigram-count tail shared by the one- and two-source
+    * append plans (rows: (doc_id, text); doc_id < 0 = the flush sentinel). */
+  private def mentionsStamped(rows: DataFrame): DataFrame = {
+    val base = lit("2026-01-01 00:30:00").cast("timestamp")
+    val flush = lit("2026-01-01 03:00:00").cast("timestamp")
+    rows
       .withColumn("ts", when(col("doc_id") >= 0, base).otherwise(flush))
       .withWatermark("ts", "1 hour")
       .select(col("ts"), explode(KgPipeline.mentionBigrams(col("text"))).as("mention"))
