@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("one-directory append variant equals the batch extraction (q31 staging shape)") {
+    import spark.implicits._
+    // corpus + sentinel staged in ONE directory, read by a single file
+    // source — the q31 staging shape; must equal the batch oracle exactly
+    // like the two-source variant above
+    val dir = Files.createTempDirectory("stream_onedir").toString
+    val web = WebtextGen.generate(spark, 300, 4)
+      .select(monotonically_increasing_id().as("doc_id"),
+        graft.extract.HtmlExtract.extractBinary(col("html")).as("text"))
+    web.write.mode("overwrite").parquet(dir)
+    Seq((-1L, "")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.streamingMentionsAppendOneDir(spark, dir, schema,
+      "mentions_onedir_test")
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT mention, freq FROM mentions_onedir_test")
+      .as[(String, Long)].collect().toMap
+    val batch = KgPipeline.extractMentions(web, "text", 1L)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("parquet file sink: incremental batches + mid-stream restarts match the batch oracle") {
     import spark.implicits._
     val docsDir = Files.createTempDirectory("psink_in").toString
